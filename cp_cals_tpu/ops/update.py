@@ -1,0 +1,225 @@
+"""Factor updates: unconstrained (Cholesky) and non-negative (active-set NNLS).
+
+TPU-native re-design of `/root/reference/src/utils/update.cpp`:
+
+* Unconstrained (update.cpp:178-192): the reference does dpotrf + two
+  right-side dtrsm per model inside an OpenMP loop; here ONE batched Cholesky
+  + two batched right-side triangular solves cover every model in a bucket.
+* NNLS (update.cpp:61-176): the reference runs a data-dependent Lawson-Hanson
+  active-set loop per factor row with warm-started active sets. Data-dependent
+  control flow doesn't jit, so this is reformulated as a masked, bounded
+  active-set iteration (identity-padded subsystem solves) and vmapped over
+  rows x models; warm-started active sets persist across ALS iterations as a
+  boolean array in the solver state, exactly like the reference's
+  ``Ktensor::active_set`` (include/ktensor.h:37).
+
+Padded bucket columns: callers pass a normal-equations matrix ``H`` whose
+padded diagonal entries were set to 1 (see ``padded_hadamard``); with zero
+RHS columns the solution stays exactly zero there.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def padded_hadamard(h: Array, rank_mask: Array) -> Array:
+    """Put 1 on diagonal entries of padded columns so Cholesky stays SPD.
+
+    h:         [..., R, R] hadamard-of-gramians normal matrix.
+    rank_mask: [..., R] True for real columns.
+    """
+    m = rank_mask.astype(h.dtype)
+    pair = m[..., :, None] * m[..., None, :]
+    eye = jnp.eye(h.shape[-1], dtype=h.dtype)
+    return h * pair + eye * (1.0 - m[..., None, :])
+
+
+def update_factor_unconstrained(g: Array, h: Array) -> Array:
+    """Solve U H = G for U (reference update.cpp:178-192), batched.
+
+    g: [..., I, R] MTTKRP result; h: [..., R, R] SPD normal matrix.
+    Two right-side triangular solves against the Cholesky factor — the same
+    factorization the reference uses, batched over models on device.
+    """
+    chol = jax.lax.linalg.cholesky(h)  # lower
+    y = jax.lax.linalg.triangular_solve(
+        chol, g, left_side=False, lower=True, transpose_a=True
+    )
+    return jax.lax.linalg.triangular_solve(
+        chol, y, left_side=False, lower=True, transpose_a=False
+    )
+
+
+# ---------------------------------------------------------------------------
+# NNLS
+# ---------------------------------------------------------------------------
+
+
+def _masked_solve(h: Array, y: Array, passive: Array) -> tuple[Array, Array]:
+    """Solve the passive-subset system H_pp d_p = y_p via identity padding.
+
+    Active rows/cols are replaced by identity and zero RHS, so the returned d
+    is zero on the active set and solves the passive block exactly. Returns
+    (d, failed) where failed flags a non-SPD subsystem (NaN in the factor) —
+    the analog of the reference's CholFail exception (update.cpp:14-16).
+    """
+    p = passive.astype(h.dtype)
+    m = h * (p[:, None] * p[None, :]) + jnp.diag(1.0 - p)
+    chol = jax.lax.linalg.cholesky(m)
+    rhs = (y * p)[:, None]
+    sol = jax.lax.linalg.triangular_solve(chol, rhs, left_side=True, lower=True)
+    sol = jax.lax.linalg.triangular_solve(
+        chol, sol, left_side=True, lower=True, transpose_a=True
+    )
+    d = jnp.where(passive, sol[:, 0], 0.0)
+    failed = jnp.any(jnp.isnan(d))
+    return jnp.where(failed, jnp.zeros_like(d), d), failed
+
+
+def _phase1(h, y, active, tol, r):
+    """Warm-start correction (reference update.cpp:92-123): solve on the
+    inherited passive set; repeatedly deactivate non-positive entries."""
+
+    def cond(state):
+        active, d, done, _ = state
+        return jnp.logical_not(done)
+
+    def body(state):
+        active, d, _, it = state
+        passive = jnp.logical_not(active)
+        min_passive = jnp.min(jnp.where(passive, d, jnp.inf))
+        need_fix = jnp.any(passive) & (min_passive <= tol)
+        new_active = jnp.where(need_fix & (d <= tol), True, active)
+        all_active = jnp.logical_not(jnp.any(jnp.logical_not(new_active)))
+        d2, failed = _masked_solve(h, y, jnp.logical_not(new_active))
+        # ZeroPassiveSet / CholFail -> all-active, d = 0 (update.cpp:117-120)
+        fail = all_active | failed
+        new_active = jnp.where(fail, jnp.ones_like(new_active), new_active)
+        d2 = jnp.where(fail, jnp.zeros_like(d2), d2)
+        done = jnp.logical_not(need_fix) | fail | (it >= r)
+        return (
+            jnp.where(need_fix, new_active, active),
+            jnp.where(need_fix, d2, d),
+            done,
+            it + 1,
+        )
+
+    passive = jnp.logical_not(active)
+    d0, failed0 = _masked_solve(h, y, passive)
+    active0 = jnp.where(failed0, jnp.ones_like(active), active)
+    d0 = jnp.where(failed0, jnp.zeros_like(d0), d0)
+    no_passive = jnp.logical_not(jnp.any(passive))
+    d0 = jnp.where(no_passive, jnp.zeros_like(d0), d0)
+    active, d, _, _ = jax.lax.while_loop(
+        cond, body, (active0, d0, no_passive | failed0, jnp.int32(0))
+    )
+    return active, d
+
+
+def _nnls_row(h: Array, y: Array, warm_active: Array, tol: Array, max_outer: int):
+    """One row's bounded active-set NNLS. Returns (d, active)."""
+    r = h.shape[-1]
+    active = warm_active & jnp.logical_not(y > 0)  # update.cpp:85-89
+    active, d = _phase1(h, y, active, tol, r)
+    w = y - h @ d  # Lagrange multipliers (update.cpp:49-56)
+
+    def outer_cond(state):
+        d, w, active, it = state
+        w_max = jnp.max(jnp.where(active, w, -jnp.inf))
+        return jnp.any(active) & (w_max > tol) & (it < max_outer)
+
+    def inner_body(state):
+        d, active, _ = state
+        sp, failed = _masked_solve(h, y, jnp.logical_not(active))
+        s = sp  # already zero on active entries
+        # feasible step toward s (update.cpp:139-156)
+        passive = jnp.logical_not(active)
+        viol = passive & (s <= tol)
+        alpha = jnp.min(jnp.where(viol, d / (d - s), jnp.inf))
+        d_new = d + alpha * (s - d)
+        newly_active = passive & (jnp.abs(d_new) < tol)
+        active_new = active | newly_active
+        d_new = jnp.where(newly_active, 0.0, d_new)
+        return d_new, active_new, failed
+
+    def inner_cond_fn(state):
+        d, active, failed = state
+        sp, f2 = _masked_solve(h, y, jnp.logical_not(active))
+        passive = jnp.logical_not(active)
+        min_p = jnp.min(jnp.where(passive, sp, jnp.inf))
+        return (min_p <= tol) & jnp.logical_not(failed | f2) & jnp.any(passive)
+
+    def outer_body(state):
+        d, w, active, it = state
+        m = jnp.argmax(jnp.where(active, w, -jnp.inf))
+        active = active.at[m].set(False)
+
+        def inner_loop(d, active):
+            def body(st):
+                d, active, failed, k = st
+                d2, a2, f2 = inner_body((d, active, failed))
+                return d2, a2, failed | f2, k + 1
+
+            def cond(st):
+                d, active, failed, k = st
+                return (
+                    inner_cond_fn((d, active, failed))
+                    & (k < r + 1)
+                    & jnp.logical_not(failed)
+                )
+
+            d, active, failed, _ = jax.lax.while_loop(
+                cond, body, (d, active, jnp.bool_(False), jnp.int32(0))
+            )
+            return d, active, failed
+
+        d, active, failed = inner_loop(d, active)
+        sp, f2 = _masked_solve(h, y, jnp.logical_not(active))
+        fail = failed | f2
+        d = jnp.where(fail, jnp.zeros_like(d), jnp.where(active, 0.0, sp))
+        active = jnp.where(fail, jnp.ones_like(active), active)
+        w = y - h @ d
+        return d, w, active, it + 1
+
+    d, w, active, _ = jax.lax.while_loop(
+        outer_cond, outer_body, (d, w, active, jnp.int32(0))
+    )
+    return d, active
+
+
+@partial(jax.jit, static_argnames=("max_outer",))
+def update_factor_nnls(
+    g: Array, h: Array, warm_active: Array, max_outer: int = 0
+) -> tuple[Array, Array]:
+    """Non-negative factor update, batched over models and rows.
+
+    g:           [..., I, R] MTTKRP result (each row is one NNLS RHS).
+    h:           [..., R, R] normal matrix (shared across rows of a model).
+    warm_active: [..., I, R] bool, active sets persisted across iterations.
+    Returns (factor [..., I, R] >= 0, new active sets).
+
+    tol = 10 * eps * |H|_1 * R (reference update.cpp:65-66) with eps taken
+    from the compute dtype rather than hard-coded double eps.
+    """
+    r = g.shape[-1]
+    if max_outer == 0:
+        max_outer = 2 * r + 2
+    eps = jnp.finfo(h.dtype).eps
+    one_norm = jnp.max(jnp.sum(jnp.abs(h), axis=-2), axis=-1)  # [...]
+    tol = 10.0 * eps * one_norm * r
+
+    def per_model(hm, gm, am, tolm):
+        return jax.vmap(lambda y, wa: _nnls_row(hm, y, wa, tolm, max_outer))(gm, am)
+
+    batch_dims = g.ndim - 2
+    fn = per_model
+    for _ in range(batch_dims):
+        fn = jax.vmap(fn)
+    d, active = fn(h, g, warm_active, tol)
+    return d, active

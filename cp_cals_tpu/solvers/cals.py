@@ -1,0 +1,254 @@
+"""Concurrent ALS (CALS): many CP models of varying rank fitted in one stream.
+
+TPU-native re-design of the reference's core innovation
+(`/root/reference/src/cals.cpp:19-395`, `/root/reference/src/multi_ktensor.cpp`):
+
+Reference (CPU)                          | This engine (TPU)
+-----------------------------------------|----------------------------------
+column-packed multi-factor buffer        | rank-bucketed batched arrays
+  (one [I_n, sum R_i] matrix per mode)   |   (per bucket: [B, I_n, R_pad])
+first-fit placement + BufferFull         | free-slot list per bucket
+eviction -> detach copy-out + zero cols  | device->host slice of the slot
+defragmentation (compress)               | unnecessary: slots are independent
+registry of per-model gramians/state     | batched SolverState pytree
+one fused MTTKRP GEMM over the buffer    | one [I_n, P] x [P, B*R] einsum
+OpenMP loop over models for updates      | batched Cholesky / NNLS / error
+
+Padded rank columns and vacant slots are algebraically inert (zero factors,
+zero lam, identity normal-matrix block), so concurrency is invisible to each
+model's trajectory — the invariant the reference tests to 1e-11
+(tests/cals/test_cals.cpp:13-86).
+
+The host syncs one tiny boolean vector per iteration to decide eviction
+(the only host<->device traffic in steady state), copies out converged
+models, and refills vacant slots from the queue — the analog of the
+reference's intake/evict loop (cals.cpp:182-192, 336-363).
+"""
+
+from __future__ import annotations
+
+import collections
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CalsParams, UpdateMethod
+from ..ktensor import Ktensor, pad_rank, truncate_rank
+from .iteration import make_iteration
+from .state import SolverState, init_state
+
+Array = jax.Array
+
+
+@dataclass
+class CalsModelReport:
+    id: int
+    rank: int
+    iters: int
+    fit: float
+    approx_error: float
+
+
+@dataclass
+class CalsReport:
+    """Run-level metadata (reference include/cals.h:27-133)."""
+
+    n_ktensors: int = 0
+    ktensor_comp_sum: int = 0
+    engine_iterations: dict = field(default_factory=dict)  # bucket rank -> iters
+    models: list = field(default_factory=list)
+
+
+def bucket_rank(rank: int, bucket_ranks: Sequence[int]) -> int:
+    """Smallest configured bucket that fits ``rank``; next power of two above
+    the largest configured bucket otherwise."""
+    for b in sorted(bucket_ranks):
+        if rank <= b:
+            return b
+    b = max(bucket_ranks)
+    while b < rank:
+        b *= 2
+    return b
+
+
+@jax.jit
+def _fill_slot(state: SolverState, slot: Array, slot_state: SolverState):
+    """Write one model into a vacant slot (analog of MultiKtensor::add,
+    src/multi_ktensor.cpp:41-130 — attach + gramian init + registry insert)."""
+    return jax.tree.map(lambda leaf, new: leaf.at[slot].set(new), state, slot_state)
+
+
+def _slice_slot(tree, slot: int):
+    return jax.tree.map(lambda leaf: leaf[slot], tree)
+
+
+def _zeros_bucket_state(
+    modes, r, b, dtype, x_norm, nnls, line_search
+) -> SolverState:
+    factors = tuple(jnp.zeros((b, m, r), dtype) for m in modes)
+    lam = jnp.zeros((b, r), dtype)
+    kt = Ktensor(factors, lam)
+    return init_state(
+        kt,
+        x_norm,
+        nnls=nnls,
+        line_search=line_search,
+        rank_mask=jnp.zeros((b, r), bool),
+        alive=False,
+    )
+
+
+@jax.jit
+def _mask_alive(state: SolverState, keep: Array) -> SolverState:
+    return state._replace(alive=state.alive & keep)
+
+
+def make_run_until_evict(iteration):
+    """Device-side loop: iterate the whole bucket, freezing each model at its
+    convergence point, until at least one live model has converged.
+
+    This replaces the reference's per-iteration eviction scan
+    (cals.cpp:336-358) with a host sync only when there is something to
+    evict — frozen models' trajectories are bit-identical to immediate
+    eviction, and the host round-trip (expensive on TPU) amortizes over the
+    convergence gap between models.
+    """
+
+    def run(x, state: SolverState, x_norm):
+        from .state import tree_where
+
+        def cond(s):
+            return jnp.logical_not(jnp.any(s.converged & s.alive))
+
+        def body(s):
+            new = iteration(x, s, x_norm)
+            return tree_where(s.converged & s.alive, s, new)
+
+        return jax.lax.while_loop(cond, body, state)
+
+    return run
+
+
+def cp_cals(
+    x: Array,
+    queue: Sequence[Ktensor],
+    params: CalsParams = CalsParams(),
+    jk_fibers: Sequence[int] | None = None,
+    x_norms_jk: Array | None = None,
+) -> tuple[list[Ktensor], CalsReport]:
+    """Fit every model in ``queue`` concurrently. Returns fitted models in
+    input order plus a report.
+
+    jk_fibers: optional per-model jackknifed mode-0 fiber (-1 = regular
+    model). When any is >= 0, leave-one-out norms are computed once
+    (reference cals.cpp:198-200) unless supplied.
+    """
+    x = jnp.asarray(x)
+    dtype = queue[0].lam.dtype
+    x_norm = jnp.linalg.norm(x.ravel().astype(jnp.result_type(dtype, jnp.float32)))
+    x_norm = x_norm.astype(dtype)
+    if jk_fibers is None:
+        jk_fibers = [-1] * len(queue)
+    if any(f >= 0 for f in jk_fibers) and x_norms_jk is None:
+        from .jackknife import jackknife_norms
+
+        x_norms_jk = jackknife_norms(x)
+
+    nnls = params.update_method == UpdateMethod.NNLS
+    report = CalsReport()
+    report.n_ktensors = len(queue)
+    report.ktensor_comp_sum = sum(kt.rank for kt in queue)
+
+    # ---------------------------------------------------------- bucketize
+    buckets: dict[int, collections.deque] = collections.defaultdict(
+        collections.deque
+    )
+    for i, (kt, jk) in enumerate(zip(queue, jk_fibers)):
+        r = bucket_rank(kt.rank, params.bucket_ranks)
+        buckets[r].append((i, kt, jk))
+
+    use_blocks = params.sync_mode == "evict"
+
+    results: dict[int, Ktensor] = {}
+
+    for r, dq in sorted(buckets.items()):
+        b = max(1, min(params.buffer_size // r, len(dq)))
+        if params.mttkrp_method.value == "auto":
+            from ..utils.lut import lookup_methods
+
+            methods = lookup_methods(x.shape, r, b)
+        else:
+            methods = None
+        iteration = make_iteration(params, batched=True, mttkrp_methods=methods)
+        step = jax.jit(iteration)
+        run_until_evict = jax.jit(make_run_until_evict(iteration))
+        state = _zeros_bucket_state(
+            x.shape, r, b, dtype, x_norm, nnls, params.line_search
+        )
+        slot_meta: list[tuple[int, int, int] | None] = [None] * b  # (id, rank, jk)
+
+        def make_slot_state(kt: Ktensor, jk: int):
+            ktp = pad_rank(kt, r)
+            rank_mask = jnp.arange(r) < kt.rank
+            xnm = x_norm if jk < 0 else x_norms_jk[jk].astype(dtype)
+            return init_state(
+                ktp,
+                x_norm,
+                nnls=nnls,
+                line_search=params.line_search,
+                jk_fiber=jnp.asarray(jk, jnp.int32),
+                x_norm_model=xnm,
+                rank_mask=rank_mask,
+            )
+
+        def fill(state, slot):
+            i, kt, jk = dq.popleft()
+            slot_meta[slot] = (i, kt.rank, jk)
+            return _fill_slot(state, jnp.asarray(slot), make_slot_state(kt, jk))
+
+        for slot in range(b):
+            if dq:
+                state = fill(state, slot)
+
+        engine_iters = 0
+        while any(m is not None for m in slot_meta):
+            if use_blocks:
+                state = run_until_evict(x, state, x_norm)
+            else:
+                state = step(x, state, x_norm)
+                engine_iters += 1
+            conv = np.asarray(state.converged & state.alive)
+            keep = np.ones(b, bool)
+            for slot in range(b):
+                meta = slot_meta[slot]
+                if meta is None or not conv[slot]:
+                    continue
+                i, rank, jk = meta
+                kt_slot = truncate_rank(_slice_slot(state.kt, slot), rank)
+                results[i] = kt_slot
+                report.models.append(
+                    CalsModelReport(
+                        id=i,
+                        rank=rank,
+                        iters=int(state.iters[slot]),
+                        fit=float(state.fit[slot]),
+                        approx_error=float(state.approx_error[slot]),
+                    )
+                )
+                slot_meta[slot] = None
+                if dq:
+                    state = fill(state, slot)
+                else:
+                    keep[slot] = False
+            if not keep.all():
+                state = _mask_alive(state, jnp.asarray(keep))
+        report.engine_iterations[r] = engine_iters if not use_blocks else max(
+            (m.iters for m in report.models), default=0
+        )
+
+    report.models.sort(key=lambda m: m.id)
+    return [results[i] for i in range(len(queue))], report

@@ -1,0 +1,272 @@
+"""One ALS iteration as a pure jitted function over SolverState.
+
+This is the TPU re-design of the reference's twin iteration loops
+(`/root/reference/src/als.cpp:150-277` single model,
+`/root/reference/src/cals.cpp:174-382` concurrent): instead of an OpenMP
+loop over registry entries around BLAS calls, every per-model operation is
+batched over the leading model axis and the whole iteration (mode sweep +
+error + line search + convergence flags) compiles to one XLA program. The
+mode loop is a static Python unroll (shapes differ per mode), so XLA sees a
+straight-line program of MXU contractions it can schedule and fuse.
+
+Dead/padded slots are algebraically inert (zero factors, zero lam, identity
+normal matrix), so no alive-gating is needed inside the iteration — the
+analog of the reference detaching and zeroing vacated buffer columns
+(src/multi_ktensor.cpp:132-163).
+"""
+
+from __future__ import annotations
+
+import string
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (
+    AlsParams,
+    CalsParams,
+    LineSearchMethod,
+    UpdateMethod,
+    resolve_precision,
+)
+from ..ktensor import (
+    Ktensor,
+    denormalize,
+    normalize_full,
+    normalize_mode,
+    set_jk_fiber,
+)
+from ..ops.error import fast_error
+from ..ops.gramians import gramian, gramians, hadamard_all, hadamard_but_one
+from ..ops.mttkrp import mttkrp, mttkrp_batched
+from ..ops.update import (
+    padded_hadamard,
+    update_factor_nnls,
+    update_factor_unconstrained,
+)
+from .state import BIG_ERROR, LsState, SolverState, tree_where
+
+Array = jax.Array
+
+
+def make_iteration(
+    params: AlsParams | CalsParams,
+    batched: bool,
+    mttkrp_methods: tuple[str, ...] | None = None,
+) -> Callable[[Array, SolverState, Array], SolverState]:
+    """Build the jittable iteration body for the given (static) params.
+
+    mttkrp_methods optionally overrides the contraction strategy per mode
+    (resolved from the autotune LUT by the CALS engine when the configured
+    method is AUTO — the analog of the reference's per-mode LUT dispatch,
+    mttkrp.cpp:575-587).
+    """
+    precision = resolve_precision(params.precision)
+    nnls = params.update_method == UpdateMethod.NNLS
+    default_method = params.mttkrp_method.value
+
+    def do_mttkrp(x, factors, n):
+        method = (
+            mttkrp_methods[n] if mttkrp_methods is not None else default_method
+        )
+        if batched:
+            return mttkrp_batched(x, factors, n, method, precision)
+        return mttkrp(x, factors, n, method, precision)
+
+    def iteration(x: Array, state: SolverState, x_norm_full: Array) -> SolverState:
+        n_modes = x.ndim
+        iters = state.iters + 1
+        kt, grams, active, ls = state.kt, state.grams, state.active, state.ls
+
+        # Line-search snapshot of the previous model state, taken before the
+        # mode sweep when the counter is one short of the interval
+        # (reference als.cpp:158-160, cals.cpp:203-211).
+        if params.line_search:
+            snap = ls.it == (params.line_search_interval - 1)
+            ls = ls._replace(prev=tree_where(snap, kt, ls.prev))
+
+        # ------------------------------------------------------ mode sweep
+        g_last = None
+        for n in range(n_modes):
+            g = do_mttkrp(x, kt.factors, n)
+            if n == n_modes - 1:
+                g_last = g  # saved for the fast-error formula (als.cpp:174-179)
+            h = padded_hadamard(hadamard_but_one(grams, n), state.rank_mask)
+            if nnls:
+                u, act_n = update_factor_nnls(
+                    g, h, active[n], params.nnls_max_outer
+                )
+                active = active[:n] + (act_n,) + active[n + 1 :]
+            else:
+                u = update_factor_unconstrained(g, h)
+            kt = Ktensor(kt.factors[:n] + (u,) + kt.factors[n + 1 :], kt.lam)
+            if n == 0:
+                # Jackknife: re-zero the left-out sample's row after every
+                # mode-0 update (reference cals.cpp:250-251). Mode-0 JK only,
+                # as used by the reference's jackknife drivers.
+                kt = set_jk_fiber(kt, state.jk_fiber, 0.0)
+            kt = normalize_mode(kt, n, iters)
+            grams = grams[:n] + (gramian(kt.factors[n], precision),) + grams[n + 1 :]
+
+        # ------------------------------------------------------ fast error
+        err = fast_error(
+            state.x_norm_model, kt.lam, kt.factors[-1], g_last, hadamard_all(grams)
+        )
+        old_fit = state.fit
+        # Fit always uses the FULL tensor norm, even for jackknife models
+        # whose error uses the leave-one-out norm (reference cals.cpp:295-301).
+        fit = 1.0 - jnp.abs(err) / x_norm_full
+
+        # ------------------------------------------------------ line search
+        if params.line_search:
+            kt, grams, err, fit, old_fit, iters, ls = _line_search(
+                x, kt, grams, err, fit, old_fit, iters, ls, params, precision,
+                x_norm_full,
+            )
+
+        # ------------------------------------------------------ convergence
+        if params.force_max_iter:
+            converged = iters >= params.max_iterations
+        else:
+            converged = (jnp.abs(fit - old_fit) < params.tol) | (
+                iters >= params.max_iterations
+            )
+
+        return SolverState(
+            kt=kt,
+            grams=grams,
+            rank_mask=state.rank_mask,
+            iters=iters,
+            fit=fit,
+            old_fit=old_fit,
+            approx_error=err,
+            converged=converged,
+            alive=state.alive,
+            jk_fiber=state.jk_fiber,
+            x_norm_model=state.x_norm_model,
+            active=active,
+            ls=ls,
+        )
+
+    return iteration
+
+
+def _line_search(
+    x, kt, grams, err, fit, old_fit, iters, ls: LsState, params, precision,
+    x_norm_full,
+):
+    """Masked batched line search (reference line_search.cpp:228-283).
+
+    Both methods extrapolate ``U <- U + step * (U - U_prev)`` every
+    ``interval`` iterations with step = cbrt(iteration) by default
+    (als.cpp:252-253). NO_ERROR_CHECKING extrapolates blindly, keeps a backup
+    and reverts next iteration if the error rose; ERROR_CHECKING computes the
+    exact reconstruction error of the extrapolated model and accepts only on
+    improvement.
+    """
+    interval = params.line_search_interval
+    if params.line_search_step == 0:
+        step = jnp.cbrt(iters.astype(err.dtype))
+    else:
+        step = jnp.full_like(err, params.line_search_step)
+
+    nec = params.line_search_method == LineSearchMethod.NO_ERROR_CHECKING
+    if nec:
+        # Skip entirely when the model is about to be evicted unchecked
+        # (als.cpp:248-251, cals.cpp:317-319).
+        do_ls = iters < params.max_iterations
+    else:
+        do_ls = jnp.ones_like(iters, bool)
+
+    it2 = jnp.where(do_ls, ls.it + 1, ls.it)
+
+    if nec:
+        # Revert phase: if we extrapolated last iteration and the error rose,
+        # restore the backup (line_search.cpp:236-263).
+        was_upd = ls.updated_last & do_ls
+        revert = was_upd & (ls.backup_err < err)
+        kt = tree_where(revert, ls.backup, kt)
+        err = jnp.where(revert, ls.backup_err, err)
+        fit = jnp.where(revert, ls.backup_fit, fit)
+        old_fit = jnp.where(revert, ls.backup_old_fit, old_fit)
+        iters = jnp.where(revert, ls.backup_iters, iters)
+        it2 = jnp.where(revert, 0, it2)
+        updated_last = ls.updated_last & jnp.logical_not(do_ls)
+
+        # Extrapolation phase (line_search.cpp:24-71).
+        extrap = (it2 == interval) & do_ls
+        it2 = jnp.where(extrap, 0, it2)
+        updated_last = jnp.where(extrap, True, updated_last)
+        backup = tree_where(extrap, kt, ls.backup)
+        backup_err = jnp.where(extrap, err, ls.backup_err)
+        backup_fit = jnp.where(extrap, fit, ls.backup_fit)
+        backup_old_fit = jnp.where(extrap, old_fit, ls.backup_old_fit)
+        backup_iters = jnp.where(extrap, iters, ls.backup_iters)
+
+        kt_d = denormalize(kt)
+        prev_d = denormalize(ls.prev)
+        s = step[..., None, None]
+        ext = Ktensor(
+            tuple(f + s * (f - pf) for f, pf in zip(kt_d.factors, prev_d.factors)),
+            jnp.ones_like(kt.lam),
+        )
+        ext = normalize_full(ext)
+        kt = tree_where(extrap, ext, kt)
+        err = jnp.where(extrap, jnp.asarray(BIG_ERROR, err.dtype), err)
+        old_fit = jnp.where(extrap, fit, old_fit)
+        fit = jnp.where(extrap, 1.0 - BIG_ERROR, fit)
+
+        # Gramians refreshed for reverted/extrapolated models
+        # (line_search.cpp:58, :266).
+        touched = revert | extrap
+        grams = tree_where(touched, gramians(kt.factors, precision), grams)
+        ls = LsState(
+            it=it2,
+            updated_last=updated_last,
+            prev=ls.prev,
+            backup=backup,
+            backup_err=backup_err,
+            backup_fit=backup_fit,
+            backup_old_fit=backup_old_fit,
+            backup_iters=backup_iters,
+        )
+        return kt, grams, err, fit, old_fit, iters, ls
+
+    # ERROR_CHECKING: extrapolate raw factors (lam carried over), measure the
+    # exact reconstruction error, accept only on improvement
+    # (line_search.cpp:86-153).
+    extrap = it2 == interval
+    it2 = jnp.where(extrap, 0, it2)
+    s = step[..., None, None]
+    cand = Ktensor(
+        tuple(f + s * (f - pf) for f, pf in zip(kt.factors, ls.prev.factors)),
+        kt.lam,
+    )
+    cand_norm = normalize_full(denormalize(cand))
+    new_err = _batched_recon_error(x, cand_norm, precision)
+    accept = extrap & (new_err < err)
+    kt = tree_where(accept, cand_norm, kt)
+    grams = tree_where(accept, gramians(kt.factors, precision), grams)
+    old_fit = jnp.where(accept, fit, old_fit)
+    err2 = jnp.where(accept, new_err, err)
+    # fit recomputed with the full tensor norm, as the reference's
+    # calculate_new_fit(X_norm) does (line_search.cpp:141-142).
+    fit = jnp.where(accept, 1.0 - jnp.abs(new_err) / x_norm_full, fit)
+    ls = ls._replace(it=it2)
+    return kt, grams, err2, fit, old_fit, iters, ls
+
+
+def _batched_recon_error(x, kt: Ktensor, precision) -> Array:
+    """|X - full(kt)| per model (reference error.cpp:32-62, workspace-free)."""
+    kt_d = denormalize(kt)
+    n = x.ndim
+    idx = string.ascii_lowercase[:n]
+    batched = kt.lam.ndim > 1
+    b = "z" if batched else ""
+    subs = [f"{b}{idx[i]}r" for i in range(n)]
+    expr = ",".join(subs) + "->" + b + idx
+    xhat = jnp.einsum(expr, *kt_d.factors, precision=precision)
+    diff = x - xhat  # broadcasts over batch
+    axes = tuple(range(-n, 0))
+    return jnp.sqrt(jnp.sum(diff * diff, axis=axes))

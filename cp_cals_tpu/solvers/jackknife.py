@@ -1,0 +1,184 @@
+"""Jackknife resampling of CP decompositions.
+
+TPU-native equivalent of the reference's flagship application
+(`/root/reference/src/cals.cpp:397-446` jk_cp_cals,
+`/root/reference/src/als.cpp:291-387` jk_cp_als,
+`/root/reference/src/utils/utils.cpp:40-152` machinery):
+
+* ``jk_cp_cals`` — hundreds of leave-one-sample-out refits computed
+  concurrently against the FULL tensor by re-zeroing one row of the mode-0
+  factor after every mode-0 update (no subsampled tensor copies), then
+  rescaled and column-matched to the reference model via LSAP.
+* ``jk_cp_als`` — the oracle: materializes the (I-1)-row subtensor per
+  replicate and fits sequentially.
+* ``jackknife_norms`` — per-fiber leave-one-out tensor norms as one device
+  reduction (the reference's two-phase OpenMP reduction, utils.cpp:103-152).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AlsParams, CalsParams
+from ..ktensor import (
+    Ktensor,
+    denormalize,
+    normalize_full,
+    set_jk_fiber,
+)
+from ..utils.lsap import solve_lsap
+from .als import cp_als
+from .cals import CalsReport, cp_cals
+
+Array = jax.Array
+
+
+@jax.jit
+def jackknife_norms(x: Array) -> Array:
+    """norms[i] = |X with mode-0 fiber i removed| (reference utils.cpp:103-152).
+
+    One squared-sum reduction over all non-leading axes + a total, computed
+    in the widest enabled dtype (the subtraction is cancellation-prone).
+    """
+    from ..config import error_dtype
+
+    dt = error_dtype()
+    x64 = x.astype(dt)
+    row_sq = jnp.sum(x64 * x64, axis=tuple(range(1, x.ndim)))
+    total = jnp.sum(row_sq)
+    return jnp.sqrt(total - row_sq).astype(x.dtype)
+
+
+def generate_jk_ktensors(kt: Ktensor) -> list[tuple[Ktensor, int]]:
+    """One replicate per mode-0 fiber, tagged with its left-out fiber
+    (reference utils.cpp:40-51). The fiber row is NOT zeroed here — the
+    solver zeroes it after each mode-0 update, exactly like the reference."""
+    i0 = kt.factors[0].shape[-2]
+    if i0 <= 1:
+        raise ValueError("can't jackknife with a single sample")
+    return [(kt, i) for i in range(i0)]
+
+
+def jk_permutation_adjustment(
+    kt_ref: Ktensor, replicates: list[Ktensor]
+) -> list[Ktensor]:
+    """Permute each replicate's columns to best match the reference model.
+
+    Score M = B_ref^T B_m + C_ref^T C_m, maximized by LSAP
+    (reference utils.cpp:53-101). Host-side: R x R problems.
+    """
+    out = []
+    b_ref = np.asarray(kt_ref.factors[1])
+    c_ref = np.asarray(kt_ref.factors[2])
+    for kt in replicates:
+        m = b_ref.T @ np.asarray(kt.factors[1]) + c_ref.T @ np.asarray(kt.factors[2])
+        perm = solve_lsap(m, maximize=True)
+        factors = tuple(f[..., perm] for f in kt.factors)
+        out.append(Ktensor(factors, kt.lam[..., perm]))
+    return out
+
+
+@dataclass
+class JKReport:
+    pre_time: float = 0.0
+    solver_time: float = 0.0
+    results: list = field(default_factory=list)  # [model][fiber] -> Ktensor
+    cals_report: CalsReport | None = None
+
+
+def _rescale_replicate(kt: Ktensor, fiber: int) -> Ktensor:
+    """Zero the fiber row, renormalize, then NaN the fiber row
+    (reference cals.cpp:431-437)."""
+    kt = set_jk_fiber(kt, fiber, 0.0)
+    kt = normalize_full(denormalize(kt))
+    f0 = kt.factors[0]
+    f0 = f0.at[..., fiber, :].set(jnp.nan)
+    return Ktensor((f0,) + kt.factors[1:], kt.lam)
+
+
+def jk_cp_cals(
+    x: Array,
+    fitted: list[Ktensor],
+    params: CalsParams = CalsParams(),
+) -> JKReport:
+    """Jackknife every fitted model via ONE concurrent CALS run on the full
+    tensor (reference cals.cpp:397-446)."""
+    import time
+
+    t0 = time.perf_counter()
+    fitted = [normalize_full(denormalize(kt)) for kt in fitted]
+    queue: list[Ktensor] = []
+    fibers: list[int] = []
+    spans: list[tuple[int, int]] = []
+    for kt in fitted:
+        reps = generate_jk_ktensors(kt)
+        spans.append((len(queue), len(queue) + len(reps)))
+        for kt_rep, fiber in reps:
+            queue.append(kt_rep)
+            fibers.append(fiber)
+    t1 = time.perf_counter()
+
+    results, cals_rep = cp_cals(x, queue, params, jk_fibers=fibers)
+    t2 = time.perf_counter()
+
+    report = JKReport(
+        pre_time=t1 - t0, solver_time=t2 - t1, cals_report=cals_rep
+    )
+    for kt_ref, (lo, hi) in zip(fitted, spans):
+        reps = [
+            _rescale_replicate(results[i], fibers[i]) for i in range(lo, hi)
+        ]
+        report.results.append(jk_permutation_adjustment(kt_ref, reps))
+    return report
+
+
+def _drop_fiber(x: np.ndarray, fiber: int) -> np.ndarray:
+    return np.delete(np.asarray(x), fiber, axis=0)
+
+
+def _drop_fiber_kt(kt: Ktensor, fiber: int) -> Ktensor:
+    f0 = np.asarray(kt.factors[0])
+    f0 = np.delete(f0, fiber, axis=0)
+    return Ktensor(
+        (jnp.asarray(f0),) + tuple(kt.factors[1:]), kt.lam
+    )
+
+
+def jk_cp_als(
+    x: Array,
+    fitted: list[Ktensor],
+    params: AlsParams = AlsParams(),
+) -> JKReport:
+    """Oracle jackknife: explicit (I-1)-row subtensor per replicate
+    (reference als.cpp:291-387). O(I * |X|) extra traffic — for testing."""
+    import time
+
+    t0 = time.perf_counter()
+    fitted = [normalize_full(denormalize(kt)) for kt in fitted]
+    x_np = np.asarray(x)
+    report = JKReport()
+    t1 = time.perf_counter()
+    for kt_ref in fitted:
+        i0 = kt_ref.factors[0].shape[-2]
+        reps = []
+        for fiber in range(i0):
+            x_jk = jnp.asarray(_drop_fiber(x_np, fiber))
+            kt0 = _drop_fiber_kt(kt_ref, fiber)
+            kt_fit, _ = cp_als(x_jk, kt0, params)
+            kt_fit = normalize_full(denormalize(kt_fit))
+            # Re-insert a NaN row at the fiber position so replicate shapes
+            # match jk_cp_cals output (reference keeps an I-row model with a
+            # NaN fiber, cals.cpp:431-437).
+            f0 = np.asarray(kt_fit.factors[0])
+            f0 = np.insert(f0, fiber, np.nan, axis=0)
+            reps.append(
+                Ktensor((jnp.asarray(f0),) + tuple(kt_fit.factors[1:]), kt_fit.lam)
+            )
+        report.results.append(jk_permutation_adjustment(kt_ref, reps))
+    report.pre_time = t1 - t0
+    report.solver_time = time.perf_counter() - t1
+    return report

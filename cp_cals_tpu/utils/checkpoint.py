@@ -1,0 +1,48 @@
+"""Checkpoint/resume of solver state.
+
+The reference has none (SURVEY §5.4) — nearest artifacts are text tensors
+and CSV results. Here every bit of solver progress lives in one explicit
+pytree (SolverState) plus the host-side queue/slot metadata, so snapshots
+are trivial: an .npz of the state leaves + a JSON sidecar of the metadata.
+Used by the CALS engine for periodic snapshots and by long jackknife runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..solvers.state import SolverState
+
+
+def save_state(path: str, state: SolverState, meta: dict | None = None) -> None:
+    leaves, treedef = jax.tree.flatten(state)
+    np.savez_compressed(
+        path, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    )
+    side = {"treedef": str(treedef), "n_leaves": len(leaves)}
+    if meta:
+        side["meta"] = meta
+    with open(path + ".json", "w") as f:
+        json.dump(side, f)
+
+
+def load_state(path: str, template: SolverState) -> tuple[SolverState, dict]:
+    """Restore into the structure of ``template`` (shapes must match)."""
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    leaves, treedef = jax.tree.flatten(template)
+    loaded = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
+    for a, b in zip(loaded, leaves):
+        if a.shape != jnp.shape(b):
+            raise ValueError(f"shape mismatch {a.shape} vs {jnp.shape(b)}")
+    state = jax.tree.unflatten(treedef, loaded)
+    meta = {}
+    sidecar = (path[:-4] if path.endswith(".npz") else path) + ".json"
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            meta = json.load(f).get("meta", {})
+    return state, meta

@@ -1,0 +1,117 @@
+"""MTTKRP method autotuning + lookup tables.
+
+Equivalent of the reference's LUT system (`/root/reference/src/utils/
+mttkrp.cpp:19-52` runtime reader, `scripts/python/mttkrp/generate_LUTs.py`
+offline generator, `data/<BACKEND>/lookup_tables/` shipped tables): per
+(tensor shape, bucket rank, batch) and per mode, measure each contraction
+strategy and cache the winner. The reference keys tables by thread count;
+here the key is the device kind.
+
+Tables are JSON files under ``data/lookup_tables/<device>/<d0-d1-.../>.json``
+mapping ``"BxR:mode" -> method``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "data",
+    "lookup_tables",
+)
+
+METHODS = ("krp_gemm", "twostep")
+
+
+def _device_tag() -> str:
+    d = jax.devices()[0]
+    return f"{d.platform}-{getattr(d, 'device_kind', 'unknown')}".replace(" ", "_")
+
+
+def _table_path(modes) -> str:
+    shape = "-".join(str(m) for m in modes)
+    return os.path.join(_ROOT, _device_tag(), f"{shape}.json")
+
+
+def _load(modes) -> dict:
+    path = _table_path(modes)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def _store(modes, table: dict) -> None:
+    path = _table_path(modes)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(table, f, indent=1, sort_keys=True)
+
+
+def heuristic_methods(modes, rank: int, batch: int) -> tuple[str, ...]:
+    """Default when no LUT entry exists (analog of mttkrp.cpp:588-606).
+
+    The KRP-GEMM form is one large MXU matmul with a [P, B*R] operand; the
+    twostep form trades that for a [B, small_modes, R] intermediate. KRP wins
+    whenever B*R is large enough to fill the MXU lanes — the CALS regime.
+    """
+    return tuple("krp_gemm" for _ in modes)
+
+
+def lookup_methods(modes, rank: int, batch: int) -> tuple[str, ...]:
+    table = _load(modes)
+    key = f"{batch}x{rank}"
+    out = []
+    for mode in range(len(modes)):
+        m = table.get(f"{key}:{mode}")
+        out.append(m if m in METHODS else None)
+    if any(m is None for m in out):
+        heur = heuristic_methods(modes, rank, batch)
+        out = [m or h for m, h in zip(out, heur)]
+    return tuple(out)
+
+
+def autotune(modes, rank: int, batch: int, dtype=jnp.float32, reps: int = 3,
+             precision: str = "highest") -> tuple[str, ...]:
+    """Benchmark every method per mode (min-of-reps, like the reference's
+    bench_mttkrp.h min-of-3) and persist the winners."""
+    from ..config import resolve_precision
+    from ..ops.mttkrp import mttkrp_batched
+
+    prec = resolve_precision(precision)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, len(modes) + 1)
+    x = jax.random.normal(ks[0], tuple(modes), dtype)
+    factors = tuple(
+        jax.random.normal(k, (batch, m, rank), dtype)
+        for k, m in zip(ks[1:], modes)
+    )
+
+    table = _load(modes)
+    winners = []
+    for mode in range(len(modes)):
+        best, best_t = None, float("inf")
+        for method in METHODS:
+            fn = jax.jit(
+                lambda x, f: mttkrp_batched(x, f, mode, method, prec)
+            )
+            try:
+                fn(x, factors).block_until_ready()  # compile
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    fn(x, factors).block_until_ready()
+                t = (time.perf_counter() - t0) / reps
+            except Exception:
+                continue
+            if t < best_t:
+                best, best_t = method, t
+        winners.append(best or "krp_gemm")
+        table[f"{batch}x{rank}:{mode}"] = winners[-1]
+    _store(modes, table)
+    return tuple(winners)

@@ -1,0 +1,133 @@
+"""End-to-end single-model ALS tests (reference tests/als/test_als.cpp)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cp_cals_tpu import AlsParams, LineSearchMethod, UpdateMethod
+from cp_cals_tpu.ktensor import random_ktensor, to_tensor, denormalize
+from cp_cals_tpu.solvers import cp_als, cp_batched_als
+
+
+def rank_r_tensor(key, modes, rank, noise=0.0):
+    """Low-rank target built from a random Ktensor
+    (reference src/tensor.cpp:79-85), optionally with additive noise so the
+    error floor stays away from machine zero (cross-implementation
+    trajectory comparisons are only stable above the rounding floor)."""
+    x = to_tensor(random_ktensor(key, modes, rank))
+    if noise:
+        kn = jax.random.fold_in(key, 1)
+        x = x + noise * jax.random.normal(kn, x.shape, x.dtype)
+    return x
+
+
+@pytest.mark.parametrize("method", ["krp_gemm", "twostep"])
+def test_recover_3d(method):
+    """All MTTKRP variants drive the same fit to a sane error
+    (reference ComputeCorrectResult3D, test_als.cpp:10-60)."""
+    from cp_cals_tpu.config import MttkrpMethod
+
+    key = jax.random.PRNGKey(7)
+    kx, k0 = jax.random.split(key)
+    x = rank_r_tensor(kx, (10, 9, 8), 3)
+    kt0 = random_ktensor(k0, (10, 9, 8), 5)
+    params = AlsParams(
+        max_iterations=200, tol=1e-9, mttkrp_method=MttkrpMethod(method)
+    )
+    kt, rep = cp_als(x, kt0, params)
+    assert rep.converged
+    assert rep.approx_error < 1e-4, rep
+    # fit is 1 - err/|X|
+    x_norm = float(jnp.linalg.norm(x.ravel()))
+    np.testing.assert_allclose(rep.fit, 1 - rep.approx_error / x_norm, rtol=1e-10)
+
+
+def test_variants_identical_trajectory():
+    """krp_gemm and twostep give *identical* errors at matched inits
+    (reference asserts <=1e-8 pairwise)."""
+    from cp_cals_tpu.config import MttkrpMethod
+
+    key = jax.random.PRNGKey(8)
+    kx, k0 = jax.random.split(key)
+    x = rank_r_tensor(kx, (8, 7, 6), 3)
+    kt0 = random_ktensor(k0, (8, 7, 6), 4)
+    errs = []
+    for m in ["krp_gemm", "twostep"]:
+        _, rep = cp_als(x, kt0, AlsParams(tol=1e-9, mttkrp_method=MttkrpMethod(m)))
+        errs.append(rep.approx_error)
+    assert abs(errs[0] - errs[1]) <= 1e-8
+
+
+def test_recover_4d():
+    """N-D path recovers a rank-5 tensor with a rank-7 model
+    (reference ComputeCorrectResult4D, test_als.cpp:105-123, tol < 1e-1)."""
+    key = jax.random.PRNGKey(9)
+    kx, k0 = jax.random.split(key)
+    x = rank_r_tensor(kx, (3, 3, 3, 3), 5)
+    kt0 = random_ktensor(k0, (3, 3, 3, 3), 7)
+    kt, rep = cp_als(x, kt0, AlsParams(max_iterations=500, tol=1e-10))
+    assert rep.approx_error < 1e-1
+
+
+def test_nnls_nonnegative():
+    """NNLS keeps factors >= 0 (reference ComputeCorrectResultConstrained3D,
+    test_als.cpp:62-103)."""
+    key = jax.random.PRNGKey(10)
+    kx, k0 = jax.random.split(key)
+    # Non-negative target: square the factors of a random model.
+    kt_true = random_ktensor(kx, (8, 7, 6), 3)
+    kt_true = jax.tree.map(jnp.abs, kt_true)
+    x = to_tensor(kt_true)
+    kt0 = random_ktensor(k0, (8, 7, 6), 4)
+    params = AlsParams(
+        max_iterations=100, tol=1e-8, update_method=UpdateMethod.NNLS
+    )
+    kt, rep = cp_als(x, kt0, params)
+    kd = denormalize(kt)
+    for f in kd.factors:
+        assert float(jnp.min(f)) >= 0.0
+    assert rep.approx_error < 50
+
+
+def test_line_search_no_error_checking_converges():
+    key = jax.random.PRNGKey(11)
+    kx, k0 = jax.random.split(key)
+    x = rank_r_tensor(kx, (12, 11, 10), 4)
+    kt0 = random_ktensor(k0, (12, 11, 10), 4)
+    base = AlsParams(max_iterations=500, tol=1e-11)
+    ls = AlsParams(max_iterations=500, tol=1e-11, line_search=True)
+    _, rep0 = cp_als(x, kt0, base)
+    _, rep1 = cp_als(x, kt0, ls)
+    assert rep1.approx_error < max(rep0.approx_error * 10, 1e-6)
+
+
+def test_line_search_error_checking_converges():
+    key = jax.random.PRNGKey(12)
+    kx, k0 = jax.random.split(key)
+    x = rank_r_tensor(kx, (12, 11, 10), 4)
+    kt0 = random_ktensor(k0, (12, 11, 10), 4)
+    ls = AlsParams(
+        max_iterations=500,
+        tol=1e-11,
+        line_search=True,
+        line_search_method=LineSearchMethod.ERROR_CHECKING,
+    )
+    _, rep1 = cp_als(x, kt0, ls)
+    assert rep1.approx_error < 1e-5
+
+
+def test_batched_als_matches_single():
+    """cp_batched_als (the omp-ALS analog) reproduces cp_als exactly per model
+    (reference SimpleCorrectness cross-check, tests/cals/test_cals.cpp:13-86)."""
+    key = jax.random.PRNGKey(13)
+    kx, k0 = jax.random.split(key)
+    x = rank_r_tensor(kx, (8, 7, 6), 3, noise=1e-3)
+    kts = [random_ktensor(k, (8, 7, 6), 4) for k in jax.random.split(k0, 4)]
+    results, reports = cp_batched_als(x, kts, AlsParams(tol=1e-9))
+    for kt0, ktb, repb in zip(kts, results, reports):
+        kt_s, rep_s = cp_als(x, kt0, AlsParams(tol=1e-9))
+        assert rep_s.iters == repb.iters
+        np.testing.assert_allclose(
+            to_tensor(ktb), to_tensor(kt_s), atol=1e-11
+        )

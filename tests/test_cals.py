@@ -1,0 +1,101 @@
+"""Concurrent-engine equivalence tests (reference tests/cals/test_cals.cpp).
+
+The strongest invariant in the reference suite: concurrency must be
+invisible — CALS results must match sequential ALS results at matched
+initial guesses to ~1e-11 (test_cals.cpp:7,13-86). Here that covers rank
+padding, slot packing, eviction and refill.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cp_cals_tpu import AlsParams, CalsParams, UpdateMethod
+from cp_cals_tpu.ktensor import random_ktensor, to_tensor
+from cp_cals_tpu.solvers import cp_als, cp_cals
+
+TOL = 1e-11
+MODES = (9, 8, 7)
+
+
+def make_problem(seed, n_models=12, ranks=(1, 2, 3, 4, 5, 6), noise=1e-3):
+    key = jax.random.PRNGKey(seed)
+    kx, kk, kn = jax.random.split(key, 3)
+    x = to_tensor(random_ktensor(kx, MODES, 3))
+    # Noise keeps the error floor away from machine zero, where convergence
+    # timing would depend on reduction-order rounding (see test_als.py).
+    x = x + noise * jax.random.normal(kn, x.shape, x.dtype)
+    keys = jax.random.split(kk, n_models)
+    kts = [
+        random_ktensor(keys[i], MODES, ranks[i % len(ranks)])
+        for i in range(n_models)
+    ]
+    return x, kts
+
+
+def test_cals_equals_als_simple():
+    """Mixed ranks, small buffer (forces eviction + refill)."""
+    x, kts = make_problem(0)
+    params = CalsParams(tol=1e-9, buffer_size=12, bucket_ranks=(2, 4, 8))
+    results, rep = cp_cals(x, kts, params)
+    assert rep.n_ktensors == len(kts)
+    for kt0, kt_cals, mrep in zip(kts, results, rep.models):
+        kt_als, rep_als = cp_als(x, kt0, AlsParams(tol=1e-9))
+        assert rep_als.iters == mrep.iters, (rep_als.iters, mrep.iters)
+        np.testing.assert_allclose(
+            to_tensor(kt_cals), to_tensor(kt_als), atol=TOL
+        )
+        np.testing.assert_allclose(mrep.approx_error, rep_als.approx_error, atol=TOL)
+
+
+def test_cals_single_bucket_large_buffer():
+    x, kts = make_problem(1, n_models=6, ranks=(3, 5))
+    params = CalsParams(tol=1e-8, buffer_size=4200, bucket_ranks=(8,))
+    results, rep = cp_cals(x, kts, params)
+    for kt0, kt_cals in zip(kts, results):
+        kt_als, _ = cp_als(x, kt0, AlsParams(tol=1e-8))
+        np.testing.assert_allclose(
+            to_tensor(kt_cals), to_tensor(kt_als), atol=TOL
+        )
+
+
+def test_cals_line_search_equals_als():
+    """LineSearchCorrectness analog (test_cals.cpp:88-179)."""
+    x, kts = make_problem(2, n_models=6, ranks=(3, 4))
+    cp = CalsParams(tol=1e-9, buffer_size=8, bucket_ranks=(4,), line_search=True)
+    ap = AlsParams(tol=1e-9, line_search=True)
+    results, rep = cp_cals(x, kts, cp)
+    for kt0, kt_cals, mrep in zip(kts, results, rep.models):
+        kt_als, rep_als = cp_als(x, kt0, ap)
+        assert rep_als.iters == mrep.iters
+        np.testing.assert_allclose(
+            to_tensor(kt_cals), to_tensor(kt_als), atol=TOL
+        )
+
+
+def test_cals_nnls_equals_als():
+    x, kts = make_problem(3, n_models=4, ranks=(3,))
+    # Non-negative target
+    key = jax.random.PRNGKey(99)
+    kt_true = jax.tree.map(jnp.abs, random_ktensor(key, MODES, 3))
+    x = to_tensor(kt_true)
+    cp = CalsParams(
+        tol=1e-8, buffer_size=6, bucket_ranks=(4,),
+        update_method=UpdateMethod.NNLS,
+    )
+    ap = AlsParams(tol=1e-8, update_method=UpdateMethod.NNLS)
+    results, rep = cp_cals(x, kts, cp)
+    for kt0, kt_cals in zip(kts, results):
+        kt_als, _ = cp_als(x, kt0, ap)
+        np.testing.assert_allclose(
+            to_tensor(kt_cals), to_tensor(kt_als), atol=1e-9
+        )
+
+
+def test_cals_force_max_iter():
+    x, kts = make_problem(4, n_models=3, ranks=(3,))
+    params = CalsParams(max_iterations=7, force_max_iter=True, bucket_ranks=(4,))
+    results, rep = cp_cals(x, kts, params)
+    for m in rep.models:
+        assert m.iters == 7

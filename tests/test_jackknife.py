@@ -1,0 +1,135 @@
+"""Jackknife correctness (reference CalsJackknifingTests, test_cals.cpp:181-362).
+
+LogicCorrectness: the masked-fiber trick inside CALS against the FULL tensor
+must equal an explicit ALS on the (I-1)-row subsampled tensor, at matched
+inits and matched iteration counts (force_max_iter).
+FunctionCorrectness: jk_cp_cals == jk_cp_als end-to-end including rescaling
+and LSAP permutation adjustment.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cp_cals_tpu import AlsParams, CalsParams
+from cp_cals_tpu.ktensor import Ktensor, random_ktensor, to_tensor
+from cp_cals_tpu.solvers import (
+    cp_als,
+    cp_cals,
+    jackknife_norms,
+    jk_cp_als,
+    jk_cp_cals,
+)
+from cp_cals_tpu.utils.lsap import _solve_lsap_py, solve_lsap
+
+MODES = (6, 7, 5)
+
+
+def test_jackknife_norms():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, MODES, jnp.float64)
+    norms = jackknife_norms(x)
+    x_np = np.asarray(x)
+    for i in range(MODES[0]):
+        want = np.linalg.norm(np.delete(x_np, i, axis=0))
+        np.testing.assert_allclose(float(norms[i]), want, rtol=1e-12)
+
+
+def test_lsap_small():
+    cost = np.array([[4.0, 1.0, 3.0], [2.0, 0.0, 5.0], [3.0, 2.0, 2.0]])
+    perm = solve_lsap(cost)
+    # brute force
+    import itertools
+
+    best = min(
+        itertools.permutations(range(3)),
+        key=lambda p: sum(cost[i, p[i]] for i in range(3)),
+    )
+    assert tuple(perm) == best
+
+
+def test_lsap_random_vs_bruteforce():
+    import itertools
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        n = rng.integers(2, 6)
+        cost = rng.normal(size=(n, n))
+        for maximize in (False, True):
+            perm = _solve_lsap_py(cost, maximize)
+            sign = -1 if maximize else 1
+            best = min(
+                itertools.permutations(range(n)),
+                key=lambda p: sign * sum(cost[i, p[i]] for i in range(n)),
+            )
+            got = sum(cost[i, perm[i]] for i in range(n))
+            want = sum(cost[i, best[i]] for i in range(n))
+            np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_jk_masked_fiber_equals_subsampled_als():
+    """LogicCorrectness (test_cals.cpp:181-297): zeroed-fiber CALS on the full
+    tensor == ALS on the explicitly subsampled tensor."""
+    key = jax.random.PRNGKey(1)
+    kx, k0, kn = jax.random.split(key, 3)
+    x = to_tensor(random_ktensor(kx, MODES, 3))
+    x = x + 1e-3 * jax.random.normal(kn, x.shape, x.dtype)
+    x_np = np.asarray(x)
+    kt_ref = random_ktensor(k0, MODES, 3)
+    n_iter = 10
+
+    for fiber in [0, 2, MODES[0] - 1]:
+        # Masked-fiber run against the full tensor.
+        norms = jackknife_norms(x)
+        params = CalsParams(
+            max_iterations=n_iter, force_max_iter=True, bucket_ranks=(4,)
+        )
+        results, _ = cp_cals(x, [kt_ref], params, jk_fibers=[fiber])
+        kt_jk = results[0]
+
+        # Oracle: subsampled tensor, same init without the fiber row.
+        x_sub = jnp.asarray(np.delete(x_np, fiber, axis=0))
+        f0 = np.delete(np.asarray(kt_ref.factors[0]), fiber, axis=0)
+        kt0_sub = Ktensor(
+            (jnp.asarray(f0),) + tuple(kt_ref.factors[1:]), kt_ref.lam
+        )
+        ap = AlsParams(max_iterations=n_iter, force_max_iter=True)
+        kt_sub, rep_sub = cp_als(x_sub, kt0_sub, ap)
+
+        # Compare reconstructions with the fiber row dropped.
+        f0_jk = np.delete(np.asarray(kt_jk.factors[0]), fiber, axis=0)
+        kt_jk_reg = Ktensor(
+            (jnp.asarray(f0_jk),) + tuple(kt_jk.factors[1:]), kt_jk.lam
+        )
+        np.testing.assert_allclose(
+            to_tensor(kt_jk_reg), to_tensor(kt_sub), atol=1e-10
+        )
+
+
+def test_jk_cp_cals_equals_jk_cp_als():
+    """FunctionCorrectness (test_cals.cpp:299-362)."""
+    key = jax.random.PRNGKey(2)
+    kx, k0, kn = jax.random.split(key, 3)
+    x = to_tensor(random_ktensor(kx, MODES, 2))
+    x = x + 1e-3 * jax.random.normal(kn, x.shape, x.dtype)
+    kt0 = random_ktensor(k0, MODES, 2)
+    # Fit the base model first (both drivers start from the fitted model).
+    kt_fit, _ = cp_als(x, kt0, AlsParams(tol=1e-10, max_iterations=300))
+
+    n_iter = 20
+    cals_rep = jk_cp_cals(
+        x,
+        [kt_fit],
+        CalsParams(max_iterations=n_iter, force_max_iter=True, bucket_ranks=(2,)),
+    )
+    als_rep = jk_cp_als(
+        x, [kt_fit], AlsParams(max_iterations=n_iter, force_max_iter=True)
+    )
+    for kc, ka in zip(cals_rep.results[0], als_rep.results[0]):
+        # NaN fiber rows in both; compare elementwise where finite.
+        for fc, fa in zip(kc.factors, ka.factors):
+            fc, fa = np.asarray(fc), np.asarray(fa)
+            mask = np.isfinite(fc)
+            assert (mask == np.isfinite(fa)).all()
+            np.testing.assert_allclose(fc[mask], fa[mask], atol=1e-8)
+        np.testing.assert_allclose(kc.lam, ka.lam, atol=1e-8)

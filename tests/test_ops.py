@@ -1,0 +1,136 @@
+"""Kernel-level oracle tests: MTTKRP variants, gramians, error formula.
+
+Variant-equivalence mirrors the reference strategy of running all MTTKRP
+methods against each other (tests/als/test_als.cpp:10-60).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cp_cals_tpu.ktensor import (
+    Ktensor,
+    denormalize,
+    normalize_full,
+    random_ktensor,
+    to_tensor,
+)
+from cp_cals_tpu.ops import (
+    fast_error,
+    gramians,
+    hadamard_all,
+    hadamard_but_one,
+    khatri_rao,
+    mttkrp,
+    mttkrp_batched,
+)
+
+
+def naive_mttkrp(x, factors, mode):
+    """Direct summation definition of the MTTKRP."""
+    n = x.ndim
+    idx = "abcdef"[:n]
+    subs = ",".join(f"{idx[m]}r" for m in range(n) if m != mode)
+    expr = f"{''.join(idx)},{subs}->{idx[mode]}r"
+    others = [factors[m] for m in range(n) if m != mode]
+    return jnp.einsum(expr, x, *others)
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2])
+@pytest.mark.parametrize("method", ["krp_gemm", "twostep"])
+def test_mttkrp_variants_3d(mode, method):
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (7, 5, 6), jnp.float64)
+    kt = random_ktensor(k2, (7, 5, 6), 4)
+    got = mttkrp(x, kt.factors, mode, method)
+    want = naive_mttkrp(x, kt.factors, mode)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2, 3])
+def test_mttkrp_4d(mode):
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (3, 4, 2, 5), jnp.float64)
+    kt = random_ktensor(k2, (3, 4, 2, 5), 3)
+    for method in ["krp_gemm", "twostep"]:
+        got = mttkrp(x, kt.factors, mode, method)
+        np.testing.assert_allclose(
+            got, naive_mttkrp(x, kt.factors, mode), atol=1e-12
+        )
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2])
+@pytest.mark.parametrize("method", ["krp_gemm", "twostep"])
+def test_mttkrp_batched_matches_single(mode, method):
+    key = jax.random.PRNGKey(2)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (6, 5, 4), jnp.float64)
+    kts = [random_ktensor(k, (6, 5, 4), 3) for k in jax.random.split(k2, 5)]
+    kt_b = jax.tree.map(lambda *fs: jnp.stack(fs), *kts)
+    got = mttkrp_batched(x, kt_b.factors, mode, method)
+    for i, kt in enumerate(kts):
+        np.testing.assert_allclose(
+            got[i], naive_mttkrp(x, kt.factors, mode), atol=1e-12
+        )
+
+
+def test_khatri_rao_definition():
+    a = jnp.arange(6.0).reshape(3, 2)
+    b = jnp.arange(8.0).reshape(4, 2)
+    k = khatri_rao(a, b)
+    assert k.shape == (12, 2)
+    for i in range(3):
+        for j in range(4):
+            for r in range(2):
+                assert k[i * 4 + j, r] == a[i, r] * b[j, r]
+
+
+def test_padded_columns_are_inert():
+    """Zero columns with zero weight must not change the MTTKRP of real cols."""
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (6, 5, 4), jnp.float64)
+    kt = random_ktensor(k2, (6, 5, 4), 3)
+    from cp_cals_tpu.ktensor import pad_rank
+
+    ktp = pad_rank(kt, 8)
+    for mode in range(3):
+        g = mttkrp(x, ktp.factors, mode)
+        np.testing.assert_allclose(g[:, :3], mttkrp(x, kt.factors, mode), atol=1e-12)
+        np.testing.assert_allclose(g[:, 3:], 0.0, atol=0)
+
+
+def test_fast_error_equals_reconstruction():
+    """Fast-error formula == explicit reconstruction error (reference
+    tests/als/test_als.cpp:125-145, tolerance 1e-10) — here checked
+    algebraically at an arbitrary (normalized) model state with G_last
+    consistent with the factors."""
+    key = jax.random.PRNGKey(4)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (6, 5, 4), jnp.float64)
+    kt = random_ktensor(k2, (6, 5, 4), 3)
+    g_last = mttkrp(x, kt.factors, 2)
+    gr = gramians(kt.factors)
+    x_norm = jnp.linalg.norm(x.ravel())
+    err = fast_error(x_norm, kt.lam, kt.factors[-1], g_last, hadamard_all(gr))
+    xhat = to_tensor(kt)
+    want = jnp.linalg.norm((x - xhat).ravel())
+    np.testing.assert_allclose(float(err), float(want), rtol=1e-10)
+
+
+def test_normalize_denormalize_roundtrip():
+    key = jax.random.PRNGKey(5)
+    kt = random_ktensor(key, (6, 5, 4), 3)
+    rt = normalize_full(denormalize(kt))
+    np.testing.assert_allclose(to_tensor(rt), to_tensor(kt), atol=1e-12)
+
+
+def test_hadamard_but_one():
+    key = jax.random.PRNGKey(6)
+    kt = random_ktensor(key, (6, 5, 4), 3)
+    gr = gramians(kt.factors)
+    want = gr[0] * gr[2]
+    np.testing.assert_allclose(hadamard_but_one(gr, 1), want, atol=1e-14)
