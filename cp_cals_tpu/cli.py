@@ -83,13 +83,16 @@ def main(argv=None):
             f"error: -c/--components must be MIN:MAX:COPIES with "
             f"1 <= MIN <= MAX and COPIES >= 1 (got {args.components!r})"
         )
-    queue = []
-    keys = jax.random.split(kk, (rmax - rmin + 1) * copies)
-    i = 0
-    for r in range(rmin, rmax + 1):
-        for _ in range(copies):
-            queue.append(random_ktensor(keys[i], modes, r, dtype=dtype))
-            i += 1
+    import numpy as np
+
+    from .ktensor import random_ktensor_host
+
+    rng = np.random.default_rng(args.seed)
+    queue = [
+        random_ktensor_host(rng, modes, r, dtype=dtype)
+        for r in range(rmin, rmax + 1)
+        for _ in range(copies)
+    ]
 
     update = UpdateMethod.NNLS if args.nnls else UpdateMethod.UNCONSTRAINED
     cals_params = CalsParams(

@@ -23,20 +23,21 @@ import jax.numpy as jnp
 
 def make_workload(modes, rank_min, rank_max, copies, target_rank=5,
                   noise=0.05, dtype=jnp.float32, seed=0):
-    from .ktensor import random_ktensor, to_tensor
+    import numpy as np
+
+    from .ktensor import random_ktensor, random_ktensor_host, to_tensor
 
     key = jax.random.PRNGKey(seed)
-    kx, kn, kk = jax.random.split(key, 3)
+    kx, kn, _ = jax.random.split(key, 3)
     x = to_tensor(random_ktensor(kx, modes, target_rank, dtype=dtype))
     if noise:
         x = x + noise * jnp.std(x) * jax.random.normal(kn, x.shape, dtype)
-    queue = []
-    keys = jax.random.split(kk, (rank_max - rank_min + 1) * copies)
-    i = 0
-    for r in range(rank_min, rank_max + 1):
-        for _ in range(copies):
-            queue.append(random_ktensor(keys[i], modes, r, dtype=dtype))
-            i += 1
+    rng = np.random.default_rng(seed)
+    queue = [
+        random_ktensor_host(rng, modes, r, dtype=dtype)
+        for r in range(rank_min, rank_max + 1)
+        for _ in range(copies)
+    ]
     return x, queue
 
 

@@ -44,6 +44,46 @@ class Ktensor(NamedTuple):
         return tuple(f.shape[-2] for f in self.factors)
 
 
+def random_ktensor_host(
+    rng, modes: Sequence[int], rank: int, dtype=None
+) -> Ktensor:
+    """Host-side (NumPy) random Ktensor: uniform(-1,1) factors, full
+    normalization — same math as ``random_ktensor`` without touching a
+    device. Use for building model queues: accelerator-backed queue models
+    force one device->host round-trip per factor at pack time, which
+    dominates startup on remote-attached TPUs.
+
+    rng: a ``numpy.random.Generator`` (or an int seed).
+    """
+    import numpy as np
+
+    from .config import default_dtype
+
+    if isinstance(rng, (int, np.integer)):
+        rng = np.random.default_rng(int(rng))
+    if dtype is None:
+        dtype = default_dtype()
+    dtype = np.dtype(jnp.dtype(dtype).name)
+    factors = []
+    lam = np.ones(rank, dtype)
+    for m in modes:
+        f = rng.uniform(-1.0, 1.0, size=(m, rank)).astype(dtype)
+        coeff = np.linalg.norm(f, axis=0)
+        safe = np.where(coeff != 0, coeff, 1.0)
+        factors.append(f / safe)
+        lam = lam * coeff.astype(dtype)
+    return Ktensor(tuple(factors), lam)
+
+
+def to_host(kt: Ktensor) -> Ktensor:
+    """Pull a (possibly device-backed) Ktensor to host NumPy arrays."""
+    import numpy as np
+
+    return Ktensor(
+        tuple(np.asarray(f) for f in kt.factors), np.asarray(kt.lam)
+    )
+
+
 def random_ktensor(
     key: Array, modes: Sequence[int], rank: int, dtype=None
 ) -> Ktensor:
@@ -92,8 +132,13 @@ def normalize_mode(kt: Ktensor, mode: int, iteration: Array | int) -> Ktensor:
     """
     f = kt.factors[mode]
     l2 = jnp.linalg.norm(f, axis=-2)
-    idx = jnp.argmax(jnp.abs(f), axis=-2)  # [..., R]
-    maxval = jnp.take_along_axis(f, idx[..., None, :], axis=-2)[..., 0, :]
+    # Signed entry of maximum magnitude, gather-free: compare the column max
+    # against the column min (gathers on TPU cost ~a full elementwise pass).
+    # Tie |max| == |min| picks the max — idamax would pick whichever comes
+    # first; the difference only flips a column sign in exact ties.
+    mx = jnp.max(f, axis=-2)
+    mn = jnp.min(f, axis=-2)
+    maxval = jnp.where(mx >= -mn, mx, mn)
     is_first = (jnp.asarray(iteration) == 1)[..., None]  # broadcast over R
     lam_new = jnp.where(is_first, l2, maxval)
     safe = jnp.where(lam_new != 0, lam_new, 1.0)

@@ -40,20 +40,30 @@ def padded_hadamard(h: Array, rank_mask: Array) -> Array:
     return h * pair + eye * (1.0 - m[..., None, :])
 
 
-def update_factor_unconstrained(g: Array, h: Array) -> Array:
+def update_factor_unconstrained(
+    g: Array, h: Array, precision=jax.lax.Precision.HIGHEST
+) -> Array:
     """Solve U H = G for U (reference update.cpp:178-192), batched.
 
+    Same Cholesky factorization as the reference's dpotrf+2x dtrsm, but the
+    O(I R^2) substitution work is restructured for the MXU: invert the small
+    [R, R] triangular factor once per model (R x R solves), form H^-1, and
+    apply it with ONE batched matmul over the I-sized axis. Right-side
+    triangular solves over [B, I, R] operands are ~10x slower on TPU than
+    the equivalent matmul (lane-starved substitution vs dense MXU work).
+
     g: [..., I, R] MTTKRP result; h: [..., R, R] SPD normal matrix.
-    Two right-side triangular solves against the Cholesky factor — the same
-    factorization the reference uses, batched over models on device.
     """
+    r = h.shape[-1]
     chol = jax.lax.linalg.cholesky(h)  # lower
-    y = jax.lax.linalg.triangular_solve(
-        chol, g, left_side=False, lower=True, transpose_a=True
-    )
-    return jax.lax.linalg.triangular_solve(
-        chol, y, left_side=False, lower=True, transpose_a=False
-    )
+    eye = jnp.broadcast_to(jnp.eye(r, dtype=h.dtype), h.shape)
+    l_inv = jax.lax.linalg.triangular_solve(
+        chol, eye, left_side=True, lower=True
+    )  # [..., R, R]
+    h_inv = jnp.einsum(
+        "...sr,...st->...rt", l_inv, l_inv, precision=precision
+    )  # L^-T L^-1 = H^-1
+    return jnp.einsum("...ir,...rt->...it", g, h_inv, precision=precision)
 
 
 # ---------------------------------------------------------------------------

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import collections
 from dataclasses import dataclass, field
-from functools import partial
+from functools import lru_cache, partial
 from typing import Sequence
 
 import jax
@@ -61,6 +61,18 @@ class CalsReport:
     ktensor_comp_sum: int = 0
     engine_iterations: dict = field(default_factory=dict)  # bucket rank -> iters
     models: list = field(default_factory=list)
+    # Phase wall-times per bucket rank: {r: {"setup":…, "solve":…,
+    # "evict":…, "refill":…}} — the analog of the reference's AlsTimers
+    # (include/timer.h:45-52) at host-observable granularity.
+    phase_times: dict = field(default_factory=dict)
+
+
+@lru_cache(maxsize=64)
+def _jitted_programs(params: CalsParams, methods: tuple | None):
+    """One jitted (step, run_until_evict) pair per static config — reused
+    across cp_cals calls so repeated runs don't retrace."""
+    iteration = make_iteration(params, batched=True, mttkrp_methods=methods)
+    return jax.jit(iteration), jax.jit(make_run_until_evict(iteration))
 
 
 def bucket_rank(rank: int, bucket_ranks: Sequence[int]) -> int:
@@ -86,25 +98,25 @@ def _slice_slot(tree, slot: int):
     return jax.tree.map(lambda leaf: leaf[slot], tree)
 
 
-def _zeros_bucket_state(
-    modes, r, b, dtype, x_norm, nnls, line_search
-) -> SolverState:
-    factors = tuple(jnp.zeros((b, m, r), dtype) for m in modes)
-    lam = jnp.zeros((b, r), dtype)
-    kt = Ktensor(factors, lam)
-    return init_state(
-        kt,
-        x_norm,
-        nnls=nnls,
-        line_search=line_search,
-        rank_mask=jnp.zeros((b, r), bool),
-        alive=False,
-    )
-
-
 @jax.jit
 def _mask_alive(state: SolverState, keep: Array) -> SolverState:
     return state._replace(alive=state.alive & keep)
+
+
+@jax.jit
+def _gather_slots(state: SolverState, idx: Array) -> SolverState:
+    """Repack selected slots into a smaller bucket (the TPU analog of the
+    reference's defragmentation, src/multi_ktensor.cpp:188-264: instead of
+    left-shifting buffer columns, gather live slots into a half-size batch
+    so the tail of a drained bucket stops paying for dead slots)."""
+    return jax.tree.map(lambda leaf: leaf[idx], state)
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
 
 
 def make_run_until_evict(iteration):
@@ -176,19 +188,16 @@ def cp_cals(
     results: dict[int, Ktensor] = {}
 
     for r, dq in sorted(buckets.items()):
-        b = max(1, min(params.buffer_size // r, len(dq)))
+        # Power-of-two batch size: bounds the set of compiled program shapes
+        # (each (B, R) pair is one XLA program; vacant slots are free).
+        b = _next_pow2(max(1, min(params.buffer_size // r, len(dq))))
         if params.mttkrp_method.value == "auto":
             from ..utils.lut import lookup_methods
 
             methods = lookup_methods(x.shape, r, b)
         else:
             methods = None
-        iteration = make_iteration(params, batched=True, mttkrp_methods=methods)
-        step = jax.jit(iteration)
-        run_until_evict = jax.jit(make_run_until_evict(iteration))
-        state = _zeros_bucket_state(
-            x.shape, r, b, dtype, x_norm, nnls, params.line_search
-        )
+        step, run_until_evict = _jitted_programs(params, methods)
         slot_meta: list[tuple[int, int, int] | None] = [None] * b  # (id, rank, jk)
 
         def make_slot_state(kt: Ktensor, jk: int):
@@ -210,45 +219,124 @@ def cp_cals(
             slot_meta[slot] = (i, kt.rank, jk)
             return _fill_slot(state, jnp.asarray(slot), make_slot_state(kt, jk))
 
-        for slot in range(b):
-            if dq:
-                state = fill(state, slot)
+        # Initial intake: pack the first B models host-side and ship them in
+        # ONE transfer + one gramian-init program, instead of B scatter
+        # dispatches (each device round-trip costs ~10ms over slow links).
+        import time as _time
 
+        pt = {"setup": 0.0, "solve": 0.0, "evict": 0.0}
+        _t0 = _time.perf_counter()
+        n0 = min(b, len(dq))
+        if n0 > 0:
+            batch = [dq.popleft() for _ in range(n0)]
+            for slot, (i, kt, jk) in enumerate(batch):
+                slot_meta[slot] = (i, kt.rank, jk)
+            # Pack on host into [B, I_n, R] arrays (models whose factors are
+            # device-backed are pulled once here; prefer building queues with
+            # random_ktensor_host / to_host to make this a pure host copy).
+            np_dtype = np.dtype(str(jnp.dtype(dtype)))
+            stacked = [
+                np.zeros((b, m, r), np_dtype) for m in x.shape
+            ]
+            lam_stack = np.zeros((b, r), np_dtype)
+            for slot, (i, kt, jk) in enumerate(batch):
+                rk = kt.rank
+                for f_dst, f_src in zip(stacked, kt.factors):
+                    f_dst[slot, :, :rk] = np.asarray(f_src)
+                lam_stack[slot, :rk] = np.asarray(kt.lam)
+            kt_b = Ktensor(
+                tuple(jnp.asarray(a) for a in stacked), jnp.asarray(lam_stack)
+            )
+            rank_mask = np.zeros((b, r), bool)
+            jk_arr = np.full((b,), -1, np.int32)
+            xnm = np.full((b,), float(x_norm), dtype)
+            for slot, (i, kt, jk) in enumerate(batch):
+                rank_mask[slot, : kt.rank] = True
+                jk_arr[slot] = jk
+                if jk >= 0:
+                    xnm[slot] = float(x_norms_jk[jk])
+            state = init_state(
+                kt_b,
+                x_norm,
+                nnls=nnls,
+                line_search=params.line_search,
+                jk_fiber=jnp.asarray(jk_arr),
+                x_norm_model=jnp.asarray(xnm),
+                rank_mask=jnp.asarray(rank_mask),
+            )
+            state = state._replace(
+                alive=jnp.asarray(np.arange(b) < n0)
+            )
+
+        pt["setup"] = _time.perf_counter() - _t0
         engine_iters = 0
         while any(m is not None for m in slot_meta):
+            _t0 = _time.perf_counter()
             if use_blocks:
                 state = run_until_evict(x, state, x_norm)
             else:
                 state = step(x, state, x_norm)
                 engine_iters += 1
             conv = np.asarray(state.converged & state.alive)
+            pt["solve"] += _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
             keep = np.ones(b, bool)
-            for slot in range(b):
-                meta = slot_meta[slot]
-                if meta is None or not conv[slot]:
-                    continue
-                i, rank, jk = meta
-                kt_slot = truncate_rank(_slice_slot(state.kt, slot), rank)
-                results[i] = kt_slot
-                report.models.append(
-                    CalsModelReport(
-                        id=i,
-                        rank=rank,
-                        iters=int(state.iters[slot]),
-                        fit=float(state.fit[slot]),
-                        approx_error=float(state.approx_error[slot]),
-                    )
+            evicted = [
+                s for s in range(b) if slot_meta[s] is not None and conv[s]
+            ]
+            if evicted:
+                # Bulk extraction: gather all evicted slots in ONE device
+                # gather (padded to a power of two so gather programs are
+                # reused) + one transfer per factor, then slice host-side.
+                # The per-slot alternative costs ~4 dispatches per model.
+                iters_h = np.asarray(state.iters)
+                fit_h = np.asarray(state.fit)
+                err_h = np.asarray(state.approx_error)
+                idx = evicted + [evicted[-1]] * (
+                    _next_pow2(len(evicted)) - len(evicted)
                 )
-                slot_meta[slot] = None
-                if dq:
-                    state = fill(state, slot)
-                else:
-                    keep[slot] = False
+                kt_ev = jax.tree.map(
+                    lambda l: np.asarray(l[jnp.asarray(idx, jnp.int32)]),
+                    state.kt,
+                )
+                for pos, slot in enumerate(evicted):
+                    i, rank, jk = slot_meta[slot]
+                    results[i] = Ktensor(
+                        tuple(f[pos, :, :rank] for f in kt_ev.factors),
+                        kt_ev.lam[pos, :rank],
+                    )
+                    report.models.append(
+                        CalsModelReport(
+                            id=i,
+                            rank=rank,
+                            iters=int(iters_h[slot]),
+                            fit=float(fit_h[slot]),
+                            approx_error=float(err_h[slot]),
+                        )
+                    )
+                    slot_meta[slot] = None
+                    if dq:
+                        state = fill(state, slot)
+                    else:
+                        keep[slot] = False
+            pt["evict"] += _time.perf_counter() - _t0
             if not keep.all():
                 state = _mask_alive(state, jnp.asarray(keep))
+            # Tail compaction: once the queue is drained and the bucket is
+            # at most half occupied, repack live slots into a half-size
+            # batch so frozen/vacant slots stop consuming MXU time.
+            n_live = sum(m is not None for m in slot_meta)
+            while not dq and b > 1 and n_live <= b // 2:
+                live_idx = [s for s in range(b) if slot_meta[s] is not None]
+                pad_idx = [s for s in range(b) if slot_meta[s] is None]
+                idx = live_idx + pad_idx[: b // 2 - len(live_idx)]
+                state = _gather_slots(state, jnp.asarray(idx, jnp.int32))
+                slot_meta = [slot_meta[s] for s in idx]
+                b //= 2
         report.engine_iterations[r] = engine_iters if not use_blocks else max(
             (m.iters for m in report.models), default=0
         )
+        report.phase_times[r] = pt
 
     report.models.sort(key=lambda m: m.id)
     return [results[i] for i in range(len(queue))], report

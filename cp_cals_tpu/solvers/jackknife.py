@@ -92,12 +92,21 @@ class JKReport:
 
 def _rescale_replicate(kt: Ktensor, fiber: int) -> Ktensor:
     """Zero the fiber row, renormalize, then NaN the fiber row
-    (reference cals.cpp:431-437)."""
-    kt = set_jk_fiber(kt, fiber, 0.0)
-    kt = normalize_full(denormalize(kt))
-    f0 = kt.factors[0]
-    f0 = f0.at[..., fiber, :].set(jnp.nan)
-    return Ktensor((f0,) + kt.factors[1:], kt.lam)
+    (reference cals.cpp:431-437). Pure host math: replicates arrive as
+    host-backed Ktensors and the work is O(I*R) per replicate — device
+    dispatch latency would dominate."""
+    factors = [np.array(f) for f in kt.factors]
+    lam = np.array(kt.lam)
+    factors[0][..., fiber, :] = 0.0
+    factors[0] = factors[0] * lam  # denormalize: fold lam into factor 0
+    new_lam = np.ones_like(lam)
+    for i, f in enumerate(factors):
+        coeff = np.linalg.norm(f, axis=-2)
+        safe = np.where(coeff != 0, coeff, 1.0)
+        factors[i] = f / safe
+        new_lam = new_lam * coeff
+    factors[0][..., fiber, :] = np.nan
+    return Ktensor(tuple(factors), new_lam)
 
 
 def jk_cp_cals(
@@ -109,8 +118,12 @@ def jk_cp_cals(
     tensor (reference cals.cpp:397-446)."""
     import time
 
+    from ..ktensor import to_host
+
     t0 = time.perf_counter()
-    fitted = [normalize_full(denormalize(kt)) for kt in fitted]
+    # Renormalize, then pull to host once: each replicate references the
+    # same host arrays, so bucket packing is a pure host copy.
+    fitted = [to_host(normalize_full(denormalize(kt))) for kt in fitted]
     queue: list[Ktensor] = []
     fibers: list[int] = []
     spans: list[tuple[int, int]] = []

@@ -19,21 +19,26 @@ import numpy as np
 from ..solvers.state import SolverState
 
 
+def _base(path: str) -> str:
+    return path[: -len(".npz")] if path.endswith(".npz") else path
+
+
 def save_state(path: str, state: SolverState, meta: dict | None = None) -> None:
     leaves, treedef = jax.tree.flatten(state)
     np.savez_compressed(
-        path, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+        _base(path) + ".npz",
+        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
     )
     side = {"treedef": str(treedef), "n_leaves": len(leaves)}
     if meta:
         side["meta"] = meta
-    with open(path + ".json", "w") as f:
+    with open(_base(path) + ".meta.json", "w") as f:
         json.dump(side, f)
 
 
 def load_state(path: str, template: SolverState) -> tuple[SolverState, dict]:
     """Restore into the structure of ``template`` (shapes must match)."""
-    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    data = np.load(_base(path) + ".npz")
     leaves, treedef = jax.tree.flatten(template)
     loaded = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
     for a, b in zip(loaded, leaves):
@@ -41,7 +46,7 @@ def load_state(path: str, template: SolverState) -> tuple[SolverState, dict]:
             raise ValueError(f"shape mismatch {a.shape} vs {jnp.shape(b)}")
     state = jax.tree.unflatten(treedef, loaded)
     meta = {}
-    sidecar = (path[:-4] if path.endswith(".npz") else path) + ".json"
+    sidecar = _base(path) + ".meta.json"
     if os.path.exists(sidecar):
         with open(sidecar) as f:
             meta = json.load(f).get("meta", {})
