@@ -93,9 +93,12 @@ def main():
     cp_cals(x, queue, params)
     warm_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    results, rep = cp_cals(x, queue, params)
-    wall_s = time.perf_counter() - t0
+    wall_s = float("inf")
+    for _ in range(2):  # best-of-2: remote-device throughput is noisy
+        t0 = time.perf_counter()
+        results, rep = cp_cals(x, queue, params)
+        run_s = time.perf_counter() - t0
+        wall_s = min(wall_s, run_s)
 
     n_models = len(queue)
     models_per_sec = n_models / wall_s

@@ -218,3 +218,14 @@ def truncate_rank(kt: Ktensor, rank: int) -> Ktensor:
     """Drop padded columns (inverse of ``pad_rank``)."""
     factors = tuple(f[..., :rank] for f in kt.factors)
     return Ktensor(factors, kt.lam[..., :rank])
+
+
+def concatenate_ktensors(kts: Sequence[Ktensor]) -> Ktensor:
+    """Column-concatenate same-shape models into one wide Ktensor
+    (reference utils.cpp:18-38 ``concatenate_ktensors``)."""
+    factors = tuple(
+        jnp.concatenate([kt.factors[m] for kt in kts], axis=-1)
+        for m in range(kts[0].n_modes)
+    )
+    lam = jnp.concatenate([kt.lam for kt in kts], axis=-1)
+    return Ktensor(factors, lam)

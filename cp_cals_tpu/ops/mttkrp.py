@@ -121,19 +121,90 @@ def mttkrp(
 # ---------------------------------------------------------------------------
 
 
+def prepare_unfoldings(x: Array) -> tuple[Array, ...]:
+    """Materialize every mode-n unfolding once (loop-invariant).
+
+    The analog of the reference's implicit strided unfolds
+    (tensor.cpp:143-180): on TPU a materialized contiguous layout per mode
+    beats strided access, and hoisting it out of the iteration loop avoids
+    re-transposing the tensor every ALS iteration. Memory: N x |X|.
+    """
+    return tuple(_unfold(x, n) for n in range(x.ndim))
+
+
+def resolve_batched_method(method: str, x_ndim: int, mode: int) -> str:
+    if method == "twostep" and x_ndim != 3:
+        return "krp_gemm"  # reference: N-D always uses the KRP form
+    if method == "pallas" and x_ndim != 3:
+        return "krp_gemm"
+    return method
+
+
+def prepare_batched(
+    x: Array, methods: Sequence[str]
+) -> tuple[Array | None, ...]:
+    """Loop-invariant per-mode tensor layouts for the chosen methods.
+
+    Only the layouts the methods actually need are materialized (each is a
+    |X|-sized copy).
+    """
+    out = []
+    for n, m in enumerate(methods):
+        m = resolve_batched_method(m, x.ndim, n)
+        if m in ("krp_gemm", "auto"):
+            out.append(_unfold(x, n))
+        elif m == "twostep":
+            out.append(_ts_layout(x, n))
+        else:  # pallas prepares its own padded layout
+            from .pallas_mttkrp import prepare_mode_tensor
+
+            out.append(prepare_mode_tensor(x, n))
+    return tuple(out)
+
+
+def _packed_krp(factors_t: list[Array]) -> Array:
+    """KRP chain built directly in packed [P, B*R] layout.
+
+    Inputs are pre-transposed factors [I_m, B, R] (small relayouts); each
+    broadcast-multiply writes its result with (B, R) as the contiguous minor
+    dims, so the big KRP array is lane-aligned (B*R is a multiple of the
+    128-lane tile in practice) and is written exactly once in the layout the
+    packed matmul consumes. Transposing a [B, P, R] KRP after the fact costs
+    ~10x more: the relayout's minor dim R is lane-hostile.
+    """
+    out = factors_t[0]  # [I1, B, R]
+    for f in factors_t[1:]:
+        p1, b, r = out.shape
+        i2 = f.shape[0]
+        out = (out[:, None, :, :] * f[None, :, :, :]).reshape(p1 * i2, b, r)
+    p, b, r = out.shape
+    return out.reshape(p, b * r)
+
+
 def mttkrp_batched_krp(
     x: Array,
     factors: Sequence[Array],
     mode: int,
     precision=jax.lax.Precision.HIGHEST,
+    prepared: Array | None = None,
 ) -> Array:
     """[B, I_n, R] result via one [I_n, P] x [P, B*R] MXU matmul."""
     others = _others(x.ndim, mode)
-    krp = khatri_rao_chain([factors[m] for m in others])  # [B, P, R]
-    b, p, r = krp.shape
-    krp2 = jnp.transpose(krp, (1, 0, 2)).reshape(p, b * r)
-    g = jnp.matmul(_unfold(x, mode), krp2, precision=precision)  # [I_n, B*R]
+    b, _, r = factors[others[0]].shape
+    factors_t = [jnp.transpose(factors[m], (1, 0, 2)) for m in others]
+    krp2 = _packed_krp(factors_t)  # [P, B*R]
+    xu = prepared if prepared is not None else _unfold(x, mode)
+    g = jnp.matmul(xu, krp2, precision=precision)  # [I_n, B*R]
     return jnp.transpose(g.reshape(x.shape[mode], b, r), (1, 0, 2))
+
+
+def _ts_layout(x: Array, mode: int) -> Array:
+    """Prepared tensor for the packed twostep: [I_n * I_small, I_big]."""
+    others = _others(x.ndim, mode)
+    big = max(others, key=lambda m: x.shape[m])
+    small = [m for m in others if m != big]
+    perm = (mode, *small, big)
+    return jnp.transpose(x, perm).reshape(-1, x.shape[big])
 
 
 def mttkrp_batched_twostep(
@@ -141,38 +212,35 @@ def mttkrp_batched_twostep(
     factors: Sequence[Array],
     mode: int,
     precision=jax.lax.Precision.HIGHEST,
+    prepared: Array | None = None,
 ) -> Array:
-    """Largest-mode-first contraction chain with a model-batch axis.
+    """Packed TTM+TTV: contract the largest non-target mode with ONE MXU
+    matmul into a [I_n * I_small, B*R] intermediate, then reduce the small
+    mode on the VPU.
 
-    Intermediate is [B, prod(small modes), R] — cheaper than the KRP when the
-    contracted mode is large, costlier in memory when B is large; the
-    autotuner picks per shape.
+    This is the reference's TWOSTEP (mttkrp.cpp:330-560) re-laid-out for the
+    packed model batch. vs KRP-GEMM it replaces the [prod(others), B*R] KRP
+    (huge when the target mode is small — 691 MB for the EEM tensor's mode
+    2 at full buffer) with a [I_n * I_small, B*R] intermediate; the
+    autotuner/heuristic picks per mode, like the reference's LUT.
+
+    3-D only (the reference's TWOSTEP is as well, mttkrp.cpp:567).
     """
-    others = _others(x.ndim, mode)
-    order = sorted(others, key=lambda m: -x.shape[m])
-    m0 = order[0]
-    # t[b, (modes except m0), r]
-    t = jnp.einsum(
-        x,
-        list(range(x.ndim)),
-        factors[m0],
-        [x.ndim, m0, x.ndim + 1],
-        [x.ndim] + [i for i in range(x.ndim) if i != m0] + [x.ndim + 1],
-        precision=precision,
-    )
-    live = [m for m in range(x.ndim) if m != m0]
-    for m in order[1:]:
-        ax = live.index(m) + 1  # +1 for batch axis
-        t = jnp.einsum(
-            t,
-            list(range(t.ndim)),
-            factors[m],
-            [0, ax, t.ndim - 1],
-            [i for i in range(t.ndim) if i != ax],
-            precision=precision,
-        )
-        live.pop(ax - 1)
-    return t  # [B, I_mode, R]
+    if x.ndim != 3:
+        raise ValueError("twostep is 3-D only; use krp_gemm for N-D")
+    others = _others(3, mode)
+    big = max(others, key=lambda m: x.shape[m])
+    small = [m for m in others if m != big][0]
+    b, _, r = factors[big].shape
+    i_n, i_s, i_b = x.shape[mode], x.shape[small], x.shape[big]
+
+    x_ts = prepared if prepared is not None else _ts_layout(x, mode)
+    u_big = jnp.transpose(factors[big], (1, 0, 2)).reshape(i_b, b * r)
+    t = jnp.matmul(x_ts, u_big, precision=precision)  # [I_n*I_s, B*R]
+    t4 = t.reshape(i_n, i_s, b, r)
+    u_small = jnp.transpose(factors[small], (1, 0, 2))  # [I_s, B, R]
+    g = jnp.einsum("nsbr,sbr->bnr", t4, u_small, precision=precision)
+    return g
 
 
 def mttkrp_batched(
@@ -181,15 +249,17 @@ def mttkrp_batched(
     mode: int,
     method: str = "krp_gemm",
     precision=jax.lax.Precision.HIGHEST,
+    prepared: Array | None = None,
 ) -> Array:
+    method = resolve_batched_method(method, x.ndim, mode)
     if method == "pallas":
         from .pallas_mttkrp import mttkrp_batched_pallas
 
-        return mttkrp_batched_pallas(x, factors, mode)
+        return mttkrp_batched_pallas(x, factors, mode, prepared=prepared)
     if method in ("krp_gemm", "auto"):
-        return mttkrp_batched_krp(x, factors, mode, precision)
+        return mttkrp_batched_krp(x, factors, mode, precision, prepared)
     if method == "twostep":
-        return mttkrp_batched_twostep(x, factors, mode, precision)
+        return mttkrp_batched_twostep(x, factors, mode, precision, prepared)
     raise ValueError(f"unknown mttkrp method {method!r}")
 
 

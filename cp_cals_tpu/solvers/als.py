@@ -101,12 +101,13 @@ def _run_vmap_als(x, kts: Ktensor, params: AlsParams, n_iters: int) -> SolverSta
         line_search=params.line_search,
     )
     iteration = make_iteration(params, batched=True)
+    prepared = iteration.prepare(x)
 
     def cond(s: SolverState):
         return jnp.logical_not(jnp.all(s.converged))
 
     def body(s: SolverState):
-        new = iteration(x, s, x_norm)
+        new = iteration(x, s, x_norm, prepared)
         # Freeze models that already converged (the reference's OMP baseline
         # runs each model independently; here lock-step + freezing matches
         # each model's trajectory exactly while remaining one fused program).

@@ -119,6 +119,15 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _round_batch(n: int) -> int:
+    """Quantize a bucket batch size: pow2 up to 32, then multiples of 32.
+    Bounds compiled-shape diversity without the up-to-2x dead-slot compute
+    of pure pow2 rounding."""
+    if n <= 32:
+        return _next_pow2(n)
+    return ((n + 31) // 32) * 32
+
+
 def make_run_until_evict(iteration):
     """Device-side loop: iterate the whole bucket, freezing each model at its
     convergence point, until at least one live model has converged.
@@ -133,11 +142,13 @@ def make_run_until_evict(iteration):
     def run(x, state: SolverState, x_norm):
         from .state import tree_where
 
+        prepared = iteration.prepare(x)  # hoisted out of the loop
+
         def cond(s):
             return jnp.logical_not(jnp.any(s.converged & s.alive))
 
         def body(s):
-            new = iteration(x, s, x_norm)
+            new = iteration(x, s, x_norm, prepared)
             return tree_where(s.converged & s.alive, s, new)
 
         return jax.lax.while_loop(cond, body, state)
@@ -186,11 +197,16 @@ def cp_cals(
     use_blocks = params.sync_mode == "evict"
 
     results: dict[int, Ktensor] = {}
+    # Deferred result materialization: device gathers whose host copies were
+    # started asynchronously, finalized after all buckets complete so the
+    # transfers overlap with later buckets' compute.
+    pending: list = []
 
     for r, dq in sorted(buckets.items()):
-        # Power-of-two batch size: bounds the set of compiled program shapes
-        # (each (B, R) pair is one XLA program; vacant slots are free).
-        b = _next_pow2(max(1, min(params.buffer_size // r, len(dq))))
+        # Quantized batch size: bounds the set of compiled program shapes
+        # (each (B, R) pair is one XLA program; vacant slots are cheap but
+        # not free — they run dead compute).
+        b = _round_batch(max(1, min(params.buffer_size // r, len(dq))))
         if params.mttkrp_method.value == "auto":
             from ..utils.lut import lookup_methods
 
@@ -286,25 +302,27 @@ def cp_cals(
             ]
             if evicted:
                 # Bulk extraction: gather all evicted slots in ONE device
-                # gather (padded to a power of two so gather programs are
-                # reused) + one transfer per factor, then slice host-side.
+                # gather + async host copies that overlap with the next
+                # bucket's compute; materialized after all buckets finish.
                 # The per-slot alternative costs ~4 dispatches per model.
                 iters_h = np.asarray(state.iters)
                 fit_h = np.asarray(state.fit)
                 err_h = np.asarray(state.approx_error)
-                idx = evicted + [evicted[-1]] * (
-                    _next_pow2(len(evicted)) - len(evicted)
-                )
+                # Exact-size gather: transfer bandwidth dominates over
+                # compile-per-length here (lengths repeat across blocks).
                 kt_ev = jax.tree.map(
-                    lambda l: np.asarray(l[jnp.asarray(idx, jnp.int32)]),
-                    state.kt,
+                    lambda l: l[jnp.asarray(evicted, jnp.int32)], state.kt
                 )
+                for leaf in jax.tree.leaves(kt_ev):
+                    try:
+                        leaf.copy_to_host_async()
+                    except Exception:
+                        pass
+                block_models = []
+                pending.append((kt_ev, block_models))
                 for pos, slot in enumerate(evicted):
                     i, rank, jk = slot_meta[slot]
-                    results[i] = Ktensor(
-                        tuple(f[pos, :, :rank] for f in kt_ev.factors),
-                        kt_ev.lam[pos, :rank],
-                    )
+                    block_models.append((pos, i, rank))
                     report.models.append(
                         CalsModelReport(
                             id=i,
@@ -337,6 +355,14 @@ def cp_cals(
             (m.iters for m in report.models), default=0
         )
         report.phase_times[r] = pt
+
+    for kt_ev, block_models in pending:
+        kt_np = jax.tree.map(np.asarray, kt_ev)
+        for pos, i, rank in block_models:
+            results[i] = Ktensor(
+                tuple(f[pos, :, :rank] for f in kt_np.factors),
+                kt_np.lam[pos, :rank],
+            )
 
     report.models.sort(key=lambda m: m.id)
     return [results[i] for i in range(len(queue))], report

@@ -66,15 +66,36 @@ def make_iteration(
     nnls = params.update_method == UpdateMethod.NNLS
     default_method = params.mttkrp_method.value
 
-    def do_mttkrp(x, factors, n):
-        method = (
-            mttkrp_methods[n] if mttkrp_methods is not None else default_method
-        )
+    def resolve_methods(x) -> tuple[str, ...]:
+        if mttkrp_methods is not None:
+            return mttkrp_methods
+        if default_method == "auto":
+            from ..utils.lut import heuristic_methods
+
+            return heuristic_methods(x.shape)
+        return tuple(default_method for _ in range(x.ndim))
+
+    def prepare(x):
+        """Loop-invariant tensor layouts; compute once per solve, outside
+        the iteration loop."""
+        from ..ops.mttkrp import prepare_batched
+
+        if not batched:
+            return None
+        return prepare_batched(x, resolve_methods(x))
+
+    def do_mttkrp(x, factors, n, prepared):
+        method = resolve_methods(x)[n]
         if batched:
-            return mttkrp_batched(x, factors, n, method, precision)
+            return mttkrp_batched(
+                x, factors, n, method, precision,
+                prepared[n] if prepared is not None else None,
+            )
         return mttkrp(x, factors, n, method, precision)
 
-    def iteration(x: Array, state: SolverState, x_norm_full: Array) -> SolverState:
+    def iteration(
+        x: Array, state: SolverState, x_norm_full: Array, prepared=None
+    ) -> SolverState:
         n_modes = x.ndim
         iters = state.iters + 1
         kt, grams, active, ls = state.kt, state.grams, state.active, state.ls
@@ -89,7 +110,7 @@ def make_iteration(
         # ------------------------------------------------------ mode sweep
         g_last = None
         for n in range(n_modes):
-            g = do_mttkrp(x, kt.factors, n)
+            g = do_mttkrp(x, kt.factors, n, prepared)
             if n == n_modes - 1:
                 g_last = g  # saved for the fast-error formula (als.cpp:174-179)
             h = padded_hadamard(hadamard_but_one(grams, n), state.rank_mask)
@@ -149,6 +170,7 @@ def make_iteration(
             ls=ls,
         )
 
+    iteration.prepare = prepare
     return iteration
 
 

@@ -26,7 +26,7 @@ _ROOT = os.path.join(
     "lookup_tables",
 )
 
-METHODS = ("krp_gemm", "twostep")
+METHODS = ("krp_gemm", "twostep", "pallas")
 
 
 def _device_tag() -> str:
@@ -54,14 +54,23 @@ def _store(modes, table: dict) -> None:
         json.dump(table, f, indent=1, sort_keys=True)
 
 
-def heuristic_methods(modes, rank: int, batch: int) -> tuple[str, ...]:
+def heuristic_methods(modes, rank: int = 0, batch: int = 0) -> tuple[str, ...]:
     """Default when no LUT entry exists (analog of mttkrp.cpp:588-606).
 
-    The KRP-GEMM form is one large MXU matmul with a [P, B*R] operand; the
-    twostep form trades that for a [B, small_modes, R] intermediate. KRP wins
-    whenever B*R is large enough to fill the MXU lanes — the CALS regime.
+    Both packed forms do the same MXU flops; they differ in the intermediate
+    they materialize: KRP-GEMM writes a [prod(others), B*R] Khatri-Rao
+    product, twostep a [I_n * I_small, B*R] TTM result. Pick whichever
+    intermediate is smaller per mode — i.e. twostep exactly when the target
+    mode is smaller than the largest non-target mode.
     """
-    return tuple("krp_gemm" for _ in modes)
+    if len(modes) != 3:
+        return tuple("krp_gemm" for _ in modes)
+    out = []
+    for n in range(3):
+        others = [m for m in range(3) if m != n]
+        big = max(modes[m] for m in others)
+        out.append("twostep" if modes[n] < big else "krp_gemm")
+    return tuple(out)
 
 
 def lookup_methods(modes, rank: int, batch: int) -> tuple[str, ...]:
@@ -93,20 +102,44 @@ def autotune(modes, rank: int, batch: int, dtype=jnp.float32, reps: int = 3,
         for k, m in zip(ks[1:], modes)
     )
 
+    import numpy as _np
+
+    from ..ops.mttkrp import prepare_batched, resolve_batched_method
+
+    n_loop = 20
     table = _load(modes)
     winners = []
     for mode in range(len(modes)):
         best, best_t = None, float("inf")
         for method in METHODS:
-            fn = jax.jit(
-                lambda x, f: mttkrp_batched(x, f, mode, method, prec)
-            )
+            if resolve_batched_method(method, len(modes), mode) != method:
+                continue
+
+            def run_fn(x, f, method=method, mode=mode):
+                prepared = prepare_batched(
+                    x, tuple(method for _ in modes)
+                )
+
+                def body(i, f):
+                    g = mttkrp_batched(
+                        x, f, mode, method, prec, prepared[mode]
+                    )
+                    # chain: feed the output back through the target factor
+                    return f[:mode] + (g * 1e-20 + f[mode],) + f[mode + 1 :]
+
+                return jax.lax.fori_loop(0, n_loop, body, f)
+
+            fn = jax.jit(run_fn)
             try:
-                fn(x, factors).block_until_ready()  # compile
-                t0 = time.perf_counter()
+                out = fn(x, factors)
+                float(_np.asarray(out[mode]).ravel()[0])  # sync (compile)
+                ts = []
                 for _ in range(reps):
-                    fn(x, factors).block_until_ready()
-                t = (time.perf_counter() - t0) / reps
+                    t0 = time.perf_counter()
+                    out = fn(x, factors)
+                    float(_np.asarray(out[mode]).ravel()[0])
+                    ts.append((time.perf_counter() - t0) / n_loop)
+                t = min(ts)
             except Exception:
                 continue
             if t < best_t:
