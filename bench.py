@@ -83,7 +83,9 @@ def main():
         buffer_size=4200,
         bucket_ranks=(4, 8, 12, 16, 20),
         line_search=False,
-        precision="highest",
+        # bf16_3x matmul passes: f32-equivalent accuracy for this workload
+        # (measured: mean fit matches "highest" to ~1e-4 at 1.26x speed).
+        precision="high",
         sync_mode="evict",
     )
 

@@ -16,6 +16,13 @@ matmuls, pure VPU broadcast into an MXU operand.
 
 3-D tensors only (the reference's TWOSTEP variants are also 3-D-only,
 mttkrp.cpp:567); N-D falls back to the XLA path.
+
+STATUS: validated against the XLA path in interpret mode (tests/test_pallas
+.py). The tunneled TPU environment this repo is developed against cannot
+compile Mosaic kernels (its remote-compile helper 500s/hangs on even a
+trivial pallas_call), so compiled-mode numbers are pending real-TPU access;
+the autotuner treats a failed pallas compile as a non-candidate and the
+XLA packed paths remain the production route.
 """
 
 from __future__ import annotations
@@ -114,9 +121,10 @@ def prepare_mode_tensor(x: Array, mode: int, ti=256, cj=8) -> Array:
     """
     others = [m for m in range(x.ndim) if m != mode]
     x3 = jnp.transpose(x, (mode, *others))
+    kp = _round_up(x3.shape[2], 8)
+    cj = _pick_cj(kp, cj)
     ip = _round_up(x3.shape[0], ti)
     jp = _round_up(x3.shape[1], cj)
-    kp = _round_up(x3.shape[2], 8)
     return jnp.pad(
         x3,
         (
@@ -127,6 +135,23 @@ def prepare_mode_tensor(x: Array, mode: int, ti=256, cj=8) -> Array:
     )
 
 
+def _pick_db(r: int) -> int:
+    """Smallest model-block count making the output lane dim (db*R) a
+    multiple of 128 (Mosaic block constraint)."""
+    import math
+
+    return math.lcm(r, 128) // r
+
+
+def _pick_cj(kp: int, cj: int) -> int:
+    """X tile width (cj*kp) must be lane-aligned to 128, and cj itself
+    sublane-aligned to 8 (it is the second-to-last dim of the U1 block)."""
+    import math
+
+    cj_min = math.lcm(math.lcm(kp, 128) // kp, 8)
+    return cj_min * max(1, cj // cj_min)
+
+
 def mttkrp_batched_pallas(
     x: Array,
     factors,
@@ -134,7 +159,7 @@ def mttkrp_batched_pallas(
     prepared: Array | None = None,
     ti: int = 256,
     cj: int = 8,
-    db: int = 8,
+    db: int | None = None,
     interpret: bool = False,
 ) -> Array:
     """Batched fused MTTKRP. factors: per-mode [B, I_m, R]; returns [B, I_n, R].
@@ -149,8 +174,17 @@ def mttkrp_batched_pallas(
     others = [m for m in range(3) if m != mode]
     u1, u2 = factors[others[0]], factors[others[1]]
     b, _, r = u1.shape
-    x3 = prepared if prepared is not None else prepare_mode_tensor(x, mode, ti, cj)
+    if prepared is not None:
+        x3 = prepared
+        kp0 = _round_up(x.shape[[m for m in range(3) if m != mode][1]], 8)
+        cj = _pick_cj(kp0, cj)
+    else:
+        kp0 = _round_up(x.shape[others[1]], 8)
+        cj = _pick_cj(kp0, cj)
+        x3 = prepare_mode_tensor(x, mode, ti, cj)
     ip, jp, kp = x3.shape
+    if db is None:
+        db = _pick_db(r)
     bp = _round_up(b, db)
     u1p = jnp.pad(u1, ((0, bp - b), (0, jp - u1.shape[1]), (0, 0)))
     u2p = jnp.pad(u2, ((0, bp - b), (0, kp - u2.shape[1]), (0, 0)))

@@ -162,6 +162,8 @@ def cp_cals(
     params: CalsParams = CalsParams(),
     jk_fibers: Sequence[int] | None = None,
     x_norms_jk: Array | None = None,
+    mesh=None,
+    shard_mode0: bool = False,
 ) -> tuple[list[Ktensor], CalsReport]:
     """Fit every model in ``queue`` concurrently. Returns fitted models in
     input order plus a report.
@@ -169,8 +171,18 @@ def cp_cals(
     jk_fibers: optional per-model jackknifed mode-0 fiber (-1 = regular
     model). When any is >= 0, leave-one-out norms are computed once
     (reference cals.cpp:198-200) unless supplied.
+
+    mesh: optional jax Mesh with ("dp", "tp") axes — shards the model batch
+    over dp (and the tensor's mode 0 over tp when shard_mode0). Input
+    shardings propagate through the jitted engine programs; collectives are
+    inserted by the SPMD partitioner.
     """
     x = jnp.asarray(x)
+    if mesh is not None:
+        from ..parallel.sharding import tensor_pspec
+        from jax.sharding import NamedSharding
+
+        x = jax.device_put(x, NamedSharding(mesh, tensor_pspec(x, shard_mode0)))
     dtype = queue[0].lam.dtype
     x_norm = jnp.linalg.norm(x.ravel().astype(jnp.result_type(dtype, jnp.float32)))
     x_norm = x_norm.astype(dtype)
@@ -283,6 +295,12 @@ def cp_cals(
             state = state._replace(
                 alive=jnp.asarray(np.arange(b) < n0)
             )
+            if mesh is not None:
+                from ..parallel.sharding import state_pspecs, to_shardings
+
+                state = jax.device_put(
+                    state, to_shardings(mesh, state_pspecs(state, shard_mode0))
+                )
 
         pt["setup"] = _time.perf_counter() - _t0
         engine_iters = 0
