@@ -164,6 +164,7 @@ def cp_cals(
     x_norms_jk: Array | None = None,
     mesh=None,
     shard_mode0: bool = False,
+    trace=None,
 ) -> tuple[list[Ktensor], CalsReport]:
     """Fit every model in ``queue`` concurrently. Returns fitted models in
     input order plus a report.
@@ -206,7 +207,9 @@ def cp_cals(
         r = bucket_rank(kt.rank, params.bucket_ranks)
         buckets[r].append((i, kt, jk))
 
-    use_blocks = params.sync_mode == "evict"
+    # always_evict_first needs per-iteration host control; block mode waits
+    # for genuine convergence.
+    use_blocks = params.sync_mode == "evict" and not params.always_evict_first
 
     results: dict[int, Ktensor] = {}
     # Deferred result materialization: device gathers whose host copies were
@@ -313,6 +316,31 @@ def cp_cals(
                 engine_iters += 1
             conv = np.asarray(state.converged & state.alive)
             pt["solve"] += _time.perf_counter() - _t0
+            if not use_blocks and trace is not None:
+                # Per-iteration trace (reference cals.h:55-63 records active
+                # column counts + FLOPs per iteration).
+                from ..ops.mttkrp import als_iteration_flops
+                from ..utils.timers import IterationRecord
+
+                live = [m for m in slot_meta if m is not None]
+                trace.add(
+                    IterationRecord(
+                        iteration=engine_iters,
+                        active_models=len(live),
+                        active_columns=sum(m[1] for m in live),
+                        flops=als_iteration_flops(x.shape, r, b),
+                        wall_s=_time.perf_counter() - _t0,
+                    )
+                )
+            if params.always_evict_first and not use_blocks:
+                # Defrag-stress experiment knob (reference cals.cpp:346-352):
+                # evict the leftmost occupied slot every iteration.
+                conv = np.zeros(b, bool)
+                first = next(
+                    (s for s in range(b) if slot_meta[s] is not None), None
+                )
+                if first is not None:
+                    conv[first] = True
             _t0 = _time.perf_counter()
             keep = np.ones(b, bool)
             evicted = [

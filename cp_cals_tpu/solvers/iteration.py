@@ -17,7 +17,6 @@ analog of the reference detaching and zeroing vacated buffer columns
 
 from __future__ import annotations
 
-import string
 from typing import Callable
 
 import jax
@@ -256,8 +255,7 @@ def _line_search(
         return kt, grams, err, fit, old_fit, iters, ls
 
     # ERROR_CHECKING: extrapolate raw factors (lam carried over), measure the
-    # exact reconstruction error, accept only on improvement
-    # (line_search.cpp:86-153).
+    # exact error, accept only on improvement (line_search.cpp:86-153).
     extrap = it2 == interval
     it2 = jnp.where(extrap, 0, it2)
     s = step[..., None, None]
@@ -266,7 +264,7 @@ def _line_search(
         kt.lam,
     )
     cand_norm = normalize_full(denormalize(cand))
-    new_err = _batched_recon_error(x, cand_norm, precision)
+    new_err = _exact_error(x, cand_norm, x_norm_full, precision)
     accept = extrap & (new_err < err)
     kt = tree_where(accept, cand_norm, kt)
     grams = tree_where(accept, gramians(kt.factors, precision), grams)
@@ -279,16 +277,28 @@ def _line_search(
     return kt, grams, err2, fit, old_fit, iters, ls
 
 
-def _batched_recon_error(x, kt: Ktensor, precision) -> Array:
-    """|X - full(kt)| per model (reference error.cpp:32-62, workspace-free)."""
-    kt_d = denormalize(kt)
-    n = x.ndim
-    idx = string.ascii_lowercase[:n]
+def _exact_error(x, kt: Ktensor, x_norm_full, precision) -> Array:
+    """Exact |X - full(kt)| per model WITHOUT reconstructing the tensor.
+
+    The reference materializes the reconstruction per candidate
+    (error.cpp:7-62); batched on TPU that would be a [B, |X|] intermediate.
+    Instead use the expansion |X - X_hat|^2 = |X|^2 - 2<X, X_hat> + |X_hat|^2
+    where <X, X_hat> = sum_r lam_r <mttkrp(X, N)[:, r], U_N[:, r]> (one extra
+    MTTKRP) and |X_hat|^2 = lam^T (hadamard of gramians) lam — the same
+    quantities the FastALS formula uses, computed fresh for the candidate,
+    which makes this exact rather than an approximation.
+    """
+    from ..ops.mttkrp import mttkrp_batched
+
+    last = x.ndim - 1
     batched = kt.lam.ndim > 1
-    b = "z" if batched else ""
-    subs = [f"{b}{idx[i]}r" for i in range(n)]
-    expr = ",".join(subs) + "->" + b + idx
-    xhat = jnp.einsum(expr, *kt_d.factors, precision=precision)
-    diff = x - xhat  # broadcasts over batch
-    axes = tuple(range(-n, 0))
-    return jnp.sqrt(jnp.sum(diff * diff, axis=axes))
+    if batched:
+        g_last = mttkrp_batched(x, kt.factors, last, "krp_gemm", precision)
+    else:
+        from ..ops.mttkrp import mttkrp
+
+        g_last = mttkrp(x, kt.factors, last, "krp_gemm", precision)
+    grams = gramians(kt.factors, precision)
+    return fast_error(
+        x_norm_full, kt.lam, kt.factors[last], g_last, hadamard_all(grams)
+    )

@@ -99,3 +99,36 @@ def test_cals_force_max_iter():
     results, rep = cp_cals(x, kts, params)
     for m in rep.models:
         assert m.iters == 7
+
+
+def test_always_evict_first_and_trace():
+    """Defrag-stress knob (reference experiments_letter.cpp:33-51) + the
+    per-iteration trace recorder."""
+    from cp_cals_tpu.utils.timers import RunTrace
+
+    x, kts = make_problem(5, n_models=5, ranks=(3,))
+    params = CalsParams(
+        max_iterations=50, always_evict_first=True, bucket_ranks=(4,),
+        buffer_size=8, sync_mode="iter",
+    )
+    trace = RunTrace()
+    results, rep = cp_cals(x, kts, params, trace=trace)
+    assert len(results) == 5
+    assert len(trace.records) >= 5
+    assert trace.records[0].active_columns > 0
+
+
+def test_exact_error_identity():
+    """_exact_error == explicit reconstruction error (fp64 oracle)."""
+    import jax.numpy as jnp
+    from cp_cals_tpu.ktensor import to_tensor as tt, denormalize
+    from cp_cals_tpu.solvers.iteration import _exact_error
+
+    key = jax.random.PRNGKey(11)
+    kx, kk = jax.random.split(key)
+    x = to_tensor(random_ktensor(kx, MODES, 3))
+    kt = random_ktensor(kk, MODES, 4)
+    x_norm = jnp.linalg.norm(x.ravel())
+    got = _exact_error(x, kt, x_norm, jax.lax.Precision.HIGHEST)
+    want = jnp.linalg.norm((x - tt(kt)).ravel())
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-9)
