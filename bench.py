@@ -141,6 +141,29 @@ def main():
             str(r): {k: round(v, 3) for k, v in pt.items()}
             for r, pt in rep.phase_times.items()
         }
+
+    if os.environ.get("BENCH_JK"):
+        # Secondary: jackknife throughput (BASELINE config 4 — 299
+        # leave-one-out replicates of the EEM tensor at rank 5).
+        from cp_cals_tpu.solvers import jk_cp_cals
+
+        best_r5 = min(
+            (m for m in rep.models if m.rank == 5),
+            key=lambda m: m.approx_error,
+        )
+        kt5 = results[best_r5.id]
+        jk_params = CalsParams(
+            tol=1e-6, max_iterations=100, buffer_size=4200,
+            bucket_ranks=(8,), precision="high", sync_mode="evict",
+        )
+        jk_cp_cals(x, [kt5], jk_params)  # warm
+        t0 = time.perf_counter()
+        jk_rep = jk_cp_cals(x, [kt5], jk_params)
+        jk_s = time.perf_counter() - t0
+        n_reps = len(jk_rep.results[0])
+        out["jk_replicates_per_sec"] = round(n_reps / jk_s, 2)
+        out["jk_wall_s"] = round(jk_s, 3)
+
     print(json.dumps(out))
 
 

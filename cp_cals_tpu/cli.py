@@ -46,6 +46,10 @@ def parse_args(argv=None):
                    help="load target tensor from reference-format text file")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--f64", action="store_true")
+    p.add_argument("--dp", type=int, default=0,
+                   help="shard the model batch over this many devices")
+    p.add_argument("--tp", type=int, default=1,
+                   help="shard tensor mode 0 over this many devices")
     return p.parse_args(argv)
 
 
@@ -105,8 +109,18 @@ def main(argv=None):
     print(f"Tensor {modes}, {len(queue)} models, ranks {rmin}..{rmax}")
     print(f"Device: {jax.devices()[0]}")
 
+    mesh = None
+    if args.dp or args.tp > 1:
+        from .parallel.sharding import make_mesh
+
+        n_dp = args.dp or (len(jax.devices()) // args.tp)
+        mesh = make_mesh(n_dp=n_dp, n_tp=args.tp)
+        print(f"Mesh: dp={n_dp} x tp={args.tp}")
+
     t0 = time.perf_counter()
-    results, rep = cp_cals(x, queue, cals_params)
+    results, rep = cp_cals(
+        x, queue, cals_params, mesh=mesh, shard_mode0=args.tp > 1
+    )
     cals_s = time.perf_counter() - t0
     mean_fit = sum(m.fit for m in rep.models) / len(rep.models)
     print(

@@ -80,6 +80,9 @@ class AlsParams:
     force_max_iter: bool = False
     # NNLS bounded iteration counts (device-friendly active-set loop).
     nnls_max_outer: int = 0  # 0 => 2*R+2
+    # "bpp" (block principal pivoting — same exact solution, batched-friendly)
+    # or "lawson_hanson" (the reference's one-variable active-set walk).
+    nnls_algorithm: str = "bpp"
     # Matmul precision for factor-path einsums ("highest" = fp32 accum on MXU).
     precision: str = "highest"
 
@@ -108,6 +111,7 @@ class CalsParams:
     # Total column budget across all buckets (analog of reference buffer_size).
     buffer_size: int = 4200
     nnls_max_outer: int = 0
+    nnls_algorithm: str = "bpp"
     precision: str = "highest"
     # Host-sync policy: "evict" runs a device-side while_loop that freezes
     # each model at its convergence point and returns only when something is

@@ -115,7 +115,8 @@ def make_iteration(
             h = padded_hadamard(hadamard_but_one(grams, n), state.rank_mask)
             if nnls:
                 u, act_n = update_factor_nnls(
-                    g, h, active[n], params.nnls_max_outer
+                    g, h, active[n], params.nnls_max_outer,
+                    params.nnls_algorithm,
                 )
                 active = active[:n] + (act_n,) + active[n + 1 :]
             else:
