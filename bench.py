@@ -89,9 +89,12 @@ def main():
         sync_mode="evict",
     )
 
-    # Warmup run with the SAME params/shapes: compiles every bucket program
-    # (persisted in the on-disk XLA cache, so later rounds skip this).
+    # Warmup: compile all bucket programs in parallel threads, then one
+    # full run to populate the remaining small programs.
+    from cp_cals_tpu.solvers.cals import precompile_buckets
+
     t0 = time.perf_counter()
+    precompile_buckets(x, queue, params)
     cp_cals(x, queue, params)
     warm_s = time.perf_counter() - t0
 

@@ -156,6 +156,53 @@ def make_run_until_evict(iteration):
     return run
 
 
+def precompile_buckets(
+    x: Array, queue: Sequence[Ktensor], params: CalsParams
+) -> None:
+    """AOT-compile every bucket program this queue will need, in parallel
+    threads. XLA compilation is thread-safe and the compile service
+    overlaps requests, so this cuts cold-start wall time vs the serial
+    compile-on-first-dispatch path. Idempotent; results land in jit caches.
+    """
+    import concurrent.futures
+
+    x = jnp.asarray(x)
+    dtype = queue[0].lam.dtype
+    sizes: dict[int, int] = {}
+    for kt in queue:
+        r = bucket_rank(kt.rank, params.bucket_ranks)
+        sizes[r] = sizes.get(r, 0) + 1
+
+    def compile_one(r, n):
+        b = _round_batch(max(1, min(params.buffer_size // r, n)))
+        if params.mttkrp_method.value == "auto":
+            from ..utils.lut import lookup_methods
+
+            methods = lookup_methods(x.shape, r, b)
+        else:
+            methods = None
+        step, run_until_evict = _jitted_programs(params, methods)
+        factors = tuple(jnp.zeros((b, m, r), dtype) for m in x.shape)
+        kt = Ktensor(factors, jnp.zeros((b, r), dtype))
+        # All-zero alive models converge after one iteration (fit stays 0),
+        # so a real call both compiles and terminates immediately.
+        state = init_state(
+            kt,
+            jnp.asarray(1.0, dtype),
+            nnls=params.update_method == UpdateMethod.NNLS,
+            line_search=params.line_search,
+            alive=True,
+        )
+        if params.sync_mode == "evict" and not params.always_evict_first:
+            out = run_until_evict(x, state, jnp.asarray(1.0, dtype))
+        else:
+            out = step(x, state, jnp.asarray(1.0, dtype))
+        np.asarray(out.converged)  # sync
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(lambda rn: compile_one(*rn), sizes.items()))
+
+
 def cp_cals(
     x: Array,
     queue: Sequence[Ktensor],
