@@ -42,12 +42,16 @@ def make_workload(modes, rank_min, rank_max, copies, target_rank=5,
 
 
 def compare_als_cals(x, queue, cals_params, als_params, out_dir=None,
-                     tag="run", check_tol=1e-1):
+                     tag="run", check_tol=1e-1, warm=True):
     """CALS vs batched-ALS on identical inputs with error cross-checking
     (reference experiments_utils.cpp:69-193, tolerance 1e-1 + NaN screen)."""
     from .solvers import cp_batched_als, cp_cals
+    from .solvers.cals import precompile_buckets
     from .utils.timers import write_ktensor_results_csv
 
+    if warm:  # exclude compilation from the timed comparison
+        precompile_buckets(x, queue, cals_params)
+        cp_cals(x, queue, cals_params)
     t0 = time.perf_counter()
     results, rep = cp_cals(x, queue, cals_params)
     cals_s = time.perf_counter() - t0
@@ -57,6 +61,9 @@ def compare_als_cals(x, queue, cals_params, als_params, out_dir=None,
     for i, kt in enumerate(queue):
         by_rank.setdefault(kt.rank, []).append(kt)
         order.setdefault(kt.rank, []).append(i)
+    if warm:
+        for r, kts in by_rank.items():
+            cp_batched_als(x, kts, als_params)
     t0 = time.perf_counter()
     als_errors = {}
     for r, kts in by_rank.items():
@@ -84,16 +91,30 @@ def compare_als_cals(x, queue, cals_params, als_params, out_dir=None,
     }
 
 
-def peak_evaluator(dtype=jnp.bfloat16, n=4096, reps=5):
-    """Achievable matmul fraction-of-peak (reference peak_evaluator.cpp)."""
+def peak_evaluator(dtype=jnp.bfloat16, n=4096, reps=20):
+    """Achievable matmul fraction-of-peak (reference peak_evaluator.cpp).
+
+    Chained on-device loop + scalar fetch: block_until_ready is not a
+    reliable sync on remote-attached backends.
+    """
+    import numpy as np
+
     key = jax.random.PRNGKey(0)
     a = jax.random.normal(key, (n, n), jnp.float32).astype(dtype)
     b = jax.random.normal(key, (n, n), jnp.float32).astype(dtype)
-    f = jax.jit(lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32))
-    f(a, b).block_until_ready()
+
+    @jax.jit
+    def go(a, b):
+        def body(i, a):
+            c = jnp.dot(a, b, preferred_element_type=jnp.float32)
+            return (c * 1e-20).astype(a.dtype) + a
+        return jax.lax.fori_loop(0, reps, body, a)
+
+    out = go(a, b)
+    float(np.asarray(out).ravel()[0])
     t0 = time.perf_counter()
-    for _ in range(reps):
-        f(a, b).block_until_ready()
+    out = go(a, b)
+    float(np.asarray(out).ravel()[0])
     dt = (time.perf_counter() - t0) / reps
     return 2 * n**3 / dt / 1e12
 
@@ -114,12 +135,12 @@ def main(argv=None):
 
     # Paper §6.1-style: 20 models/rank, forced 50 iterations.
     sizes = [(50, 50, 50)] if args.quick else [(100, 100, 100), (200, 200, 200)]
-    copies = 4 if args.quick else 20
-    rmax = 5 if args.quick else 20
+    copies = 2 if args.quick else 20
+    rmax = 3 if args.quick else 20
     for modes in sizes:
         x, queue = make_workload(modes, 1, rmax, copies)
         cals_p = CalsParams(
-            max_iterations=10 if args.quick else 50,
+            max_iterations=5 if args.quick else 50,
             force_max_iter=True,
             bucket_ranks=(4, 8, 12, 16, 20),
         )

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import collections
 from dataclasses import dataclass, field
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import Sequence
 
 import jax
@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import CalsParams, UpdateMethod
-from ..ktensor import Ktensor, pad_rank, truncate_rank
+from ..ktensor import Ktensor, pad_rank
 from .iteration import make_iteration
 from .state import SolverState, init_state
 

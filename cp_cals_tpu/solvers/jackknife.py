@@ -24,12 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import AlsParams, CalsParams
-from ..ktensor import (
-    Ktensor,
-    denormalize,
-    normalize_full,
-    set_jk_fiber,
-)
+from ..ktensor import Ktensor, denormalize, normalize_full
 from ..utils.lsap import solve_lsap
 from .als import cp_als
 from .cals import CalsReport, cp_cals
