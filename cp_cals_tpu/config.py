@@ -118,6 +118,10 @@ class CalsParams:
     # ready to evict (amortizes host round-trips, trajectories unchanged);
     # "iter" syncs every iteration like the reference's eviction scan.
     sync_mode: str = "evict"
+    # Bucket loops run in this many host threads: device compute serializes,
+    # but one bucket's host work overlaps another's device work
+    # (measured on the EEM bench: 1 thread 185 models/s, 2 -> 336, 4 -> ~388).
+    bucket_threads: int = 4
 
 
 def resolve_precision(name: str) -> jax.lax.Precision:

@@ -264,7 +264,13 @@ def cp_cals(
     # transfers overlap with later buckets' compute.
     pending: list = []
 
-    for r, dq in sorted(buckets.items()):
+    def run_bucket(r, dq):
+        """One bucket's full solve. Device compute serializes across
+        buckets, but running several bucket loops in threads overlaps one
+        bucket's host work (conv fetches, gathers, packing) with another's
+        device compute."""
+        local_models: list = []
+        local_pending: list = []
         # Quantized batch size: bounds the set of compiled program shapes
         # (each (B, R) pair is one XLA program; vacant slots are cheap but
         # not free — they run dead compute).
@@ -412,11 +418,11 @@ def cp_cals(
                     except Exception:
                         pass
                 block_models = []
-                pending.append((kt_ev, block_models))
+                local_pending.append((kt_ev, block_models))
                 for pos, slot in enumerate(evicted):
                     i, rank, jk = slot_meta[slot]
                     block_models.append((pos, i, rank))
-                    report.models.append(
+                    local_models.append(
                         CalsModelReport(
                             id=i,
                             rank=rank,
@@ -444,10 +450,24 @@ def cp_cals(
                 state = _gather_slots(state, jnp.asarray(idx, jnp.int32))
                 slot_meta = [slot_meta[s] for s in idx]
                 b //= 2
-        report.engine_iterations[r] = engine_iters if not use_blocks else max(
-            (m.iters for m in report.models), default=0
-        )
+        return local_models, local_pending, pt, engine_iters
+
+    n_threads = min(params.bucket_threads, len(buckets)) or 1
+    items = sorted(buckets.items())
+    if n_threads > 1 and trace is None:
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
+            outs = list(ex.map(lambda rd: run_bucket(*rd), items))
+    else:
+        outs = [run_bucket(r, dq) for r, dq in items]
+    for (r, _), (local_models, local_pending, pt, engine_iters) in zip(items, outs):
+        report.models.extend(local_models)
+        pending.extend(local_pending)
         report.phase_times[r] = pt
+        report.engine_iterations[r] = engine_iters if not use_blocks else max(
+            (m.iters for m in local_models), default=0
+        )
 
     for kt_ev, block_models in pending:
         kt_np = jax.tree.map(np.asarray, kt_ev)

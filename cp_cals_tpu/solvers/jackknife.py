@@ -156,6 +156,52 @@ def _drop_fiber_kt(kt: Ktensor, fiber: int) -> Ktensor:
     )
 
 
+def jk_cp_batched_als(
+    x: Array,
+    fitted: list[Ktensor],
+    params: AlsParams = AlsParams(),
+) -> JKReport:
+    """Jackknife via the batched-ALS baseline (reference ``jk_cp_omp_als``,
+    als.cpp:415-501: OpenMP over replicate fits): replicates of one model
+    share a rank, so all of a model's leave-one-out fits run as one batched
+    program against the FULL tensor with masked fibers."""
+    import time
+
+    from .als import _run_vmap_als  # noqa: F401  (kept for parity docs)
+    from .cals import cp_cals as _cals
+    from ..config import CalsParams
+
+    # One bucket per model at its exact rank = the task-parallel baseline
+    # shape; reuse the concurrent engine with a single-rank bucket.
+    t0 = time.perf_counter()
+    report = JKReport()
+    for kt_ref in fitted:
+        kt_host = to_host_model(kt_ref)
+        reps = generate_jk_ktensors(kt_host)
+        queue = [k for k, _ in reps]
+        fibers = [f for _, f in reps]
+        p = CalsParams(
+            tol=params.tol,
+            max_iterations=params.max_iterations,
+            force_max_iter=params.force_max_iter,
+            line_search=params.line_search,
+            update_method=params.update_method,
+            precision=params.precision,
+            bucket_ranks=(kt_host.rank,),
+        )
+        results, _ = _cals(x, queue, p, jk_fibers=fibers)
+        out = [_rescale_replicate(kt, f) for kt, f in zip(results, fibers)]
+        report.results.append(jk_permutation_adjustment(kt_host, out))
+    report.solver_time = time.perf_counter() - t0
+    return report
+
+
+def to_host_model(kt: Ktensor) -> Ktensor:
+    from ..ktensor import to_host
+
+    return to_host(normalize_full(denormalize(kt)))
+
+
 def jk_cp_als(
     x: Array,
     fitted: list[Ktensor],

@@ -81,6 +81,32 @@ class RunTrace:
         return sum(r.flops for r in self.records)
 
 
+def write_cals_report_csv(path: str, report, params=None) -> None:
+    """Full run report with config echo (reference CalsReport::print_header /
+    print_to_file, include/cals.h:70-132): a commented header of solver
+    parameters followed by per-model rows."""
+    with open(path, "w", newline="") as f:
+        if params is not None:
+            import dataclasses
+
+            for field_ in dataclasses.fields(params):
+                v = getattr(params, field_.name)
+                v = getattr(v, "value", v)
+                f.write(f"# {field_.name}={v}\n")
+        f.write(f"# n_ktensors={report.n_ktensors}\n")
+        f.write(f"# ktensor_comp_sum={report.ktensor_comp_sum}\n")
+        for r, pt in getattr(report, "phase_times", {}).items():
+            pretty = ",".join(f"{k}={v:.4f}" for k, v in pt.items())
+            f.write(f"# bucket_{r}_times={pretty}\n")
+        w = csv.writer(f, delimiter=";")
+        w.writerow(["KTENSOR_ID", "RANK", "ERROR", "FIT", "ITERS"])
+        for m in report.models:
+            w.writerow(
+                [m.id, m.rank, f"{m.approx_error:.17g}", f"{m.fit:.17g}",
+                 m.iters]
+            )
+
+
 def write_ktensor_results_csv(path: str, model_reports) -> None:
     """id;rank;error;iters per model (reference experiments_utils.cpp:181-187)."""
     with open(path, "w", newline="") as f:

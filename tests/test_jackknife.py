@@ -133,3 +133,40 @@ def test_jk_cp_cals_equals_jk_cp_als():
             assert (mask == np.isfinite(fa)).all()
             np.testing.assert_allclose(fc[mask], fa[mask], atol=1e-8)
         np.testing.assert_allclose(kc.lam, ka.lam, atol=1e-8)
+
+
+def test_jk_cp_batched_als_matches_jk_cp_cals():
+    """jk via the task-parallel baseline == jk via the concurrent engine
+    (reference FunctionCorrectness covers all three drivers)."""
+    from cp_cals_tpu.solvers.jackknife import jk_cp_batched_als
+
+    key = jax.random.PRNGKey(5)
+    kx, k0, kn = jax.random.split(key, 3)
+    x = to_tensor(random_ktensor(kx, MODES, 2))
+    x = x + 1e-3 * jax.random.normal(kn, x.shape, x.dtype)
+    kt_fit, _ = cp_als(x, random_ktensor(k0, MODES, 2),
+                       AlsParams(tol=1e-10, max_iterations=300))
+    n_iter = 15
+    a = jk_cp_cals(x, [kt_fit], CalsParams(max_iterations=n_iter,
+                                           force_max_iter=True,
+                                           bucket_ranks=(2,)))
+    b = jk_cp_batched_als(x, [kt_fit], AlsParams(max_iterations=n_iter,
+                                                 force_max_iter=True))
+    for ka, kb in zip(a.results[0], b.results[0]):
+        for fa, fb in zip(ka.factors, kb.factors):
+            fa, fb = np.asarray(fa), np.asarray(fb)
+            mask = np.isfinite(fa)
+            np.testing.assert_allclose(fa[mask], fb[mask], atol=1e-9)
+
+
+def test_write_cals_report_csv(tmp_path):
+    from cp_cals_tpu.utils.timers import write_cals_report_csv
+    from cp_cals_tpu.solvers.cals import CalsModelReport, CalsReport
+
+    rep = CalsReport(n_ktensors=2, ktensor_comp_sum=5)
+    rep.models = [CalsModelReport(0, 2, 9, 0.9, 1.0),
+                  CalsModelReport(1, 3, 11, 0.95, 0.5)]
+    p = str(tmp_path / "rep.csv")
+    write_cals_report_csv(p, rep, CalsParams(tol=1e-5))
+    text = open(p).read()
+    assert "# tol=1e-05" in text and "KTENSOR_ID;RANK;ERROR;FIT;ITERS" in text
