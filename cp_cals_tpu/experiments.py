@@ -119,10 +119,49 @@ def peak_evaluator(dtype=jnp.bfloat16, n=4096, reps=20):
     return 2 * n**3 / dt / 1e12
 
 
+def jackknife_experiment(modes=(50, 100, 100), ranks=(3, 5, 7, 9),
+                         max_iter=50, dtype=jnp.float32):
+    """Reference paper §5 jackknife workload (experiments_jk.cpp:34-98):
+    fit one model per rank, then jackknife all of them in one concurrent
+    run; report replicate throughput."""
+    import numpy as np
+
+    from .config import CalsParams
+    from .ktensor import random_ktensor_host
+    from .solvers import cp_cals, jk_cp_cals
+
+    rng = np.random.default_rng(0)
+    kt = random_ktensor_host(rng, modes, max(ranks), dtype=dtype)
+    x_np = np.einsum("ir,jr,kr,r->ijk", *kt.factors, kt.lam)
+    x_np += 0.05 * x_np.std() * rng.standard_normal(x_np.shape)
+    x = jnp.asarray(x_np, dtype)
+
+    fit_params = CalsParams(
+        tol=1e-6, max_iterations=max_iter, precision="high",
+        bucket_ranks=(4, 8, 12),
+    )
+    models = [random_ktensor_host(rng, modes, r, dtype=dtype) for r in ranks]
+    fitted, _ = cp_cals(x, models, fit_params)
+
+    jk_params = CalsParams(
+        tol=1e-6, max_iterations=max_iter, precision="high",
+        bucket_ranks=(4, 8, 12), buffer_size=4200,
+    )
+    jk_cp_cals(x, fitted, jk_params)  # warm
+    t0 = time.perf_counter()
+    rep = jk_cp_cals(x, fitted, jk_params)
+    dt = time.perf_counter() - t0
+    n = sum(len(r) for r in rep.results)
+    return {"n_replicates": n, "wall_s": round(dt, 3),
+            "replicates_per_sec": round(n / dt, 2)}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="data/benchmarks")
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--jk", action="store_true",
+                   help="also run the jackknife experiment (paper §5)")
     args = p.parse_args(argv)
 
     from .config import AlsParams, CalsParams
@@ -152,6 +191,13 @@ def main(argv=None):
             x, queue, cals_p, als_p, out_dir=args.out, tag=tag
         )
         print(tag, results[tag], flush=True)
+
+    if args.jk:
+        jk_modes = (20, 30, 30) if args.quick else (50, 100, 100)
+        results["jackknife"] = jackknife_experiment(
+            modes=jk_modes, max_iter=10 if args.quick else 50
+        )
+        print("jackknife", results["jackknife"], flush=True)
 
     with open(os.path.join(args.out, "experiments.json"), "w") as f:
         json.dump(results, f, indent=1)
