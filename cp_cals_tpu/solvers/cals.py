@@ -225,7 +225,13 @@ def cp_cals(
     shardings propagate through the jitted engine programs; collectives are
     inserted by the SPMD partitioner.
     """
+    if not queue:
+        return [], CalsReport()
     x = jnp.asarray(x)
+    if x.ndim < 3:
+        raise ValueError(
+            f"CP-CALS needs a tensor of >= 3 modes, got shape {x.shape}"
+        )
     if mesh is not None:
         from ..parallel.sharding import tensor_pspec
         from jax.sharding import NamedSharding

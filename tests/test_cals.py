@@ -132,3 +132,13 @@ def test_exact_error_identity():
     got = _exact_error(x, kt, x_norm, jax.lax.Precision.HIGHEST)
     want = jnp.linalg.norm((x - tt(kt)).ravel())
     np.testing.assert_allclose(float(got), float(want), rtol=1e-9)
+
+
+def test_empty_queue_and_bad_tensor():
+    x, kts = make_problem(6, n_models=1)
+    results, rep = cp_cals(x, [], CalsParams())
+    assert results == [] and rep.n_ktensors == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 3 modes"):
+        cp_cals(jnp.ones((4, 5)), kts, CalsParams())

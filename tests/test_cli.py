@@ -1,0 +1,52 @@
+"""CLI and experiments-harness end-to-end smoke on the CPU backend."""
+
+import os
+
+import jax
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    from cp_cals_tpu.cli import main
+
+    csv = str(tmp_path / "out.csv")
+    main(
+        [
+            "-t", "12-10-8", "-c", "1:2:2", "--noise", "0.01",
+            "--tol", "1e-5", "--compare-als", "--csv", csv,
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "CALS:" in out and "models/s" in out
+    assert "speedup" in out
+    assert os.path.exists(csv)
+    with open(csv) as f:
+        assert f.readline().startswith("KTENSOR_ID")
+
+
+def test_cli_jackknife(capsys):
+    from cp_cals_tpu.cli import main
+
+    main(["-t", "8-7-6", "-c", "2:2:1", "--noise", "0.01", "--jk",
+          "--max-iterations", "30"])
+    out = capsys.readouterr().out
+    assert "Jackknife: 8 replicates" in out
+
+
+def test_compare_als_cals_harness(tmp_path):
+    import jax.numpy as jnp
+
+    from cp_cals_tpu.config import AlsParams, CalsParams
+    from cp_cals_tpu.experiments import compare_als_cals, make_workload
+
+    x, queue = make_workload((10, 9, 8), 1, 2, 2, dtype=jnp.float64)
+    res = compare_als_cals(
+        x,
+        queue,
+        CalsParams(max_iterations=5, force_max_iter=True, bucket_ranks=(2,)),
+        AlsParams(max_iterations=5, force_max_iter=True),
+        out_dir=str(tmp_path),
+        warm=False,
+    )
+    assert res["n_models"] == 4
+    assert res["n_mismatched"] == 0
+    assert os.path.exists(tmp_path / "cals_run.csv")
