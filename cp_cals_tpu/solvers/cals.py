@@ -212,6 +212,7 @@ def cp_cals(
     mesh=None,
     shard_mode0: bool = False,
     trace=None,
+    checkpoint_dir: str | None = None,
 ) -> tuple[list[Ktensor], CalsReport]:
     """Fit every model in ``queue`` concurrently. Returns fitted models in
     input order plus a report.
@@ -443,6 +444,24 @@ def cp_cals(
                     else:
                         keep[slot] = False
             pt["evict"] += _time.perf_counter() - _t0
+            if checkpoint_dir is not None:
+                # Snapshot after every eviction round (SURVEY §5.4 — the
+                # reference has no checkpointing; all solver progress lives
+                # in this one pytree + the host slot metadata).
+                import os as _os
+
+                from ..utils.checkpoint import save_state
+
+                save_state(
+                    _os.path.join(checkpoint_dir, f"bucket_r{r}"),
+                    state,
+                    {
+                        "slot_meta": [
+                            list(m) if m else None for m in slot_meta
+                        ],
+                        "bucket_rank": r,
+                    },
+                )
             if not keep.all():
                 state = _mask_alive(state, jnp.asarray(keep))
             # Tail compaction: once the queue is drained and the bucket is

@@ -142,3 +142,18 @@ def test_empty_queue_and_bad_tensor():
 
     with _pytest.raises(ValueError, match=">= 3 modes"):
         cp_cals(jnp.ones((4, 5)), kts, CalsParams())
+
+
+def test_engine_checkpointing(tmp_path):
+    """cp_cals snapshots bucket state after each eviction round."""
+    import os
+
+    x, kts = make_problem(7, n_models=4, ranks=(3,))
+    params = CalsParams(max_iterations=6, force_max_iter=True, bucket_ranks=(4,))
+    results, rep = cp_cals(x, kts, params, checkpoint_dir=str(tmp_path))
+    files = os.listdir(tmp_path)
+    assert any(f.startswith("bucket_r4") and f.endswith(".npz") for f in files)
+    import json
+
+    meta = json.load(open(tmp_path / "bucket_r4.meta.json"))["meta"]
+    assert meta["bucket_rank"] == 4
