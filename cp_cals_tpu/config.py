@@ -85,6 +85,9 @@ class AlsParams:
     nnls_algorithm: str = "bpp"
     # Matmul precision for factor-path einsums ("highest" = fp32 accum on MXU).
     precision: str = "highest"
+    # Debug oracle: warn when a model's error rises > 1e-4 between
+    # iterations (reference als.cpp:233-238 warn / cals.cpp:299 assert).
+    debug: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,6 +125,9 @@ class CalsParams:
     # but one bucket's host work overlaps another's device work
     # (measured on the EEM bench: 1 thread 185 models/s, 2 -> 336, 4 -> ~388).
     bucket_threads: int = 4
+    # Debug oracle: warn when a model's error rises > 1e-4 between
+    # iterations (reference als.cpp:233-238 warn / cals.cpp:299 assert).
+    debug: bool = False
 
 
 def resolve_precision(name: str) -> jax.lax.Precision:

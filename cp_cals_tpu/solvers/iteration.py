@@ -48,6 +48,35 @@ from .state import BIG_ERROR, LsState, SolverState, tree_where
 
 Array = jax.Array
 
+# Debug hook (params.debug): each entry is (iteration, old_error, new_error)
+# for one model whose error rose by more than 1e-4 — the TPU-side analog of
+# the reference's monotonicity warning (als.cpp:233-238). Inspectable by
+# tests and cleared by callers.
+MONOTONICITY_VIOLATIONS: list = []
+
+
+def _record_monotonicity_violation(viol, iters, err, prev_err):
+    import warnings
+
+    import numpy as np
+
+    v = np.atleast_1d(np.asarray(viol))
+    if not v.any():
+        return
+    it = np.atleast_1d(np.asarray(iters))
+    e = np.atleast_1d(np.asarray(err))
+    pe = np.atleast_1d(np.asarray(prev_err))
+    for i in np.argwhere(v)[:16]:
+        i = tuple(i)
+        MONOTONICITY_VIOLATIONS.append(
+            (int(it[i]), float(pe[i]), float(e[i]))
+        )
+    warnings.warn(
+        f"approximation error increased for {int(v.sum())} model(s) "
+        f"(> 1e-4; reference als.cpp:233-238)",
+        stacklevel=2,
+    )
+
 
 def make_iteration(
     params: AlsParams | CalsParams,
@@ -139,11 +168,27 @@ def make_iteration(
         # whose error uses the leave-one-out norm (reference cals.cpp:295-301).
         fit = 1.0 - jnp.abs(err) / x_norm_full
 
+        if params.debug:
+            # Error-monotonicity oracle (reference warns on increase > 1e-4,
+            # als.cpp:233-238; hard assert in CALS, cals.cpp:299). First
+            # iteration excluded (undefined initial error). NEC-extrapolated
+            # models carry BIG_ERROR from the previous iteration, which can
+            # only make the diff large-positive — no false trigger.
+            viol = (
+                (iters > 1)
+                & state.alive
+                & ((state.approx_error - err) < -1e-4)
+            )
+            jax.debug.callback(
+                _record_monotonicity_violation,
+                viol, iters, err, state.approx_error,
+            )
+
         # ------------------------------------------------------ line search
         if params.line_search:
             kt, grams, err, fit, old_fit, iters, ls = _line_search(
                 x, kt, grams, err, fit, old_fit, iters, ls, params, precision,
-                x_norm_full,
+                x_norm_full, state.x_norm_model,
             )
 
         # ------------------------------------------------------ convergence
@@ -176,7 +221,7 @@ def make_iteration(
 
 def _line_search(
     x, kt, grams, err, fit, old_fit, iters, ls: LsState, params, precision,
-    x_norm_full,
+    x_norm_full, x_norm_model,
 ):
     """Masked batched line search (reference line_search.cpp:228-283).
 
@@ -240,9 +285,17 @@ def _line_search(
         fit = jnp.where(extrap, 1.0 - BIG_ERROR, fit)
 
         # Gramians refreshed for reverted/extrapolated models
-        # (line_search.cpp:58, :266).
+        # (line_search.cpp:58, :266) — skipped entirely on iterations where
+        # no model was touched (the common case between intervals).
         touched = revert | extrap
-        grams = tree_where(touched, gramians(kt.factors, precision), grams)
+        grams = jax.lax.cond(
+            jnp.any(touched),
+            lambda kt_, g_: tree_where(
+                touched, gramians(kt_.factors, precision), g_
+            ),
+            lambda kt_, g_: g_,
+            kt, grams,
+        )
         ls = LsState(
             it=it2,
             updated_last=updated_last,
@@ -257,29 +310,56 @@ def _line_search(
 
     # ERROR_CHECKING: extrapolate raw factors (lam carried over), measure the
     # exact error, accept only on improvement (line_search.cpp:86-153).
+    # The whole candidate evaluation — including its MTTKRP-sized exact
+    # error — runs only on iterations where some model hits the interval
+    # (the reference computes it only at the interval too); off-interval
+    # iterations pay nothing.
     extrap = it2 == interval
     it2 = jnp.where(extrap, 0, it2)
     s = step[..., None, None]
-    cand = Ktensor(
-        tuple(f + s * (f - pf) for f, pf in zip(kt.factors, ls.prev.factors)),
-        kt.lam,
+
+    def try_extrapolate(kt, grams, err, fit, old_fit):
+        cand = Ktensor(
+            tuple(
+                f + s * (f - pf)
+                for f, pf in zip(kt.factors, ls.prev.factors)
+            ),
+            kt.lam,
+        )
+        cand_norm = normalize_full(denormalize(cand))
+        # Exact error vs the model's OWN target norm: jackknife models'
+        # error is the leave-one-out error (their factor-0 jk row is zero,
+        # so <X, X_hat> equals the LOO inner product and the LOO norm makes
+        # the expansion exact) — matches the current `err` being compared
+        # against (reference cals.cpp:295-301 + line_search.cpp:86-153).
+        new_err = _exact_error(x, cand_norm, x_norm_model, precision)
+        accept = extrap & (new_err < err)
+        kt2 = tree_where(accept, cand_norm, kt)
+        grams2 = tree_where(accept, gramians(kt2.factors, precision), grams)
+        old_fit2 = jnp.where(accept, fit, old_fit)
+        err2 = jnp.where(accept, new_err, err)
+        # fit recomputed with the full tensor norm, as the reference's
+        # calculate_new_fit(X_norm) does (line_search.cpp:141-142).
+        fit2 = jnp.where(accept, 1.0 - jnp.abs(new_err) / x_norm_full, fit)
+        return kt2, grams2, err2, fit2, old_fit2
+
+    kt, grams, err, fit, old_fit = jax.lax.cond(
+        jnp.any(extrap),
+        try_extrapolate,
+        lambda kt, grams, err, fit, old_fit: (kt, grams, err, fit, old_fit),
+        kt, grams, err, fit, old_fit,
     )
-    cand_norm = normalize_full(denormalize(cand))
-    new_err = _exact_error(x, cand_norm, x_norm_full, precision)
-    accept = extrap & (new_err < err)
-    kt = tree_where(accept, cand_norm, kt)
-    grams = tree_where(accept, gramians(kt.factors, precision), grams)
-    old_fit = jnp.where(accept, fit, old_fit)
-    err2 = jnp.where(accept, new_err, err)
-    # fit recomputed with the full tensor norm, as the reference's
-    # calculate_new_fit(X_norm) does (line_search.cpp:141-142).
-    fit = jnp.where(accept, 1.0 - jnp.abs(new_err) / x_norm_full, fit)
     ls = ls._replace(it=it2)
-    return kt, grams, err2, fit, old_fit, iters, ls
+    return kt, grams, err, fit, old_fit, iters, ls
 
 
-def _exact_error(x, kt: Ktensor, x_norm_full, precision) -> Array:
+def _exact_error(x, kt: Ktensor, x_norm, precision) -> Array:
     """Exact |X - full(kt)| per model WITHOUT reconstructing the tensor.
+
+    ``x_norm`` is the per-model target norm — the full-tensor norm for
+    regular models, the leave-one-out norm for jackknife models (whose
+    factor-0 jk row is zero, making the expansion below exact for the LOO
+    tensor).
 
     The reference materializes the reconstruction per candidate
     (error.cpp:7-62); batched on TPU that would be a [B, |X|] intermediate.
@@ -301,5 +381,5 @@ def _exact_error(x, kt: Ktensor, x_norm_full, precision) -> Array:
         g_last = mttkrp(x, kt.factors, last, "krp_gemm", precision)
     grams = gramians(kt.factors, precision)
     return fast_error(
-        x_norm_full, kt.lam, kt.factors[last], g_last, hadamard_all(grams)
+        x_norm, kt.lam, kt.factors[last], g_last, hadamard_all(grams)
     )

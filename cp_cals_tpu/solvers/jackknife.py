@@ -63,14 +63,18 @@ def jk_permutation_adjustment(
 ) -> list[Ktensor]:
     """Permute each replicate's columns to best match the reference model.
 
-    Score M = B_ref^T B_m + C_ref^T C_m, maximized by LSAP
-    (reference utils.cpp:53-101). Host-side: R x R problems.
+    Score M = sum over non-jackknifed modes of U_ref^T U_m (the reference's
+    B_ref^T B_m + C_ref^T C_m for 3-D, utils.cpp:53-101, generalized to N-D
+    by summing every mode except the jackknifed mode 0 — whose factor has a
+    NaN/zero fiber row and so can't contribute a meaningful score).
+    Maximized by LSAP; host-side R x R problems.
     """
+    refs = [np.asarray(f) for f in kt_ref.factors[1:]]
     out = []
-    b_ref = np.asarray(kt_ref.factors[1])
-    c_ref = np.asarray(kt_ref.factors[2])
     for kt in replicates:
-        m = b_ref.T @ np.asarray(kt.factors[1]) + c_ref.T @ np.asarray(kt.factors[2])
+        m = sum(
+            fr.T @ np.asarray(fm) for fr, fm in zip(refs, kt.factors[1:])
+        )
         perm = solve_lsap(m, maximize=True)
         factors = tuple(f[..., perm] for f in kt.factors)
         out.append(Ktensor(factors, kt.lam[..., perm]))

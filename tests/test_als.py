@@ -131,3 +131,41 @@ def test_batched_als_matches_single():
         np.testing.assert_allclose(
             to_tensor(ktb), to_tensor(kt_s), atol=1e-11
         )
+
+
+def test_monotonicity_debug_warning():
+    """params.debug flags an error increase > 1e-4 (reference warn at
+    als.cpp:233-238, assert at cals.cpp:299): feeding an artificially tiny
+    previous error must trigger the warning; a normal converging run must
+    not."""
+    from cp_cals_tpu.solvers.iteration import (
+        MONOTONICITY_VIOLATIONS,
+        make_iteration,
+    )
+    from cp_cals_tpu.solvers.state import init_state
+
+    key = jax.random.PRNGKey(21)
+    kx, k0 = jax.random.split(key)
+    x = rank_r_tensor(kx, (6, 5, 4), 3, noise=1e-3)
+    kt0 = random_ktensor(k0, (6, 5, 4), 3)
+    x_norm = jnp.linalg.norm(x.ravel())
+    params = AlsParams(debug=True)
+    iteration = make_iteration(params, batched=False)
+
+    state = init_state(kt0, x_norm)
+    state = state._replace(
+        iters=jnp.asarray(5, jnp.int32),
+        approx_error=jnp.asarray(0.0, x.dtype),
+    )
+    MONOTONICITY_VIOLATIONS.clear()
+    with pytest.warns(UserWarning, match="error increased"):
+        out = iteration(x, state, x_norm)
+        np.asarray(out.fit)
+    assert MONOTONICITY_VIOLATIONS
+    it, old_err, new_err = MONOTONICITY_VIOLATIONS[0]
+    assert new_err > old_err + 1e-4
+
+    # A regular converging fit must stay monotone (no false positives).
+    MONOTONICITY_VIOLATIONS.clear()
+    cp_als(x, kt0, AlsParams(debug=True, tol=1e-9))
+    assert not MONOTONICITY_VIOLATIONS

@@ -106,6 +106,83 @@ def test_jk_masked_fiber_equals_subsampled_als():
         )
 
 
+def test_jk_line_search_equals_subsampled_als():
+    """Jackknife + line search: the masked-fiber CALS run must still equal
+    the subsampled-tensor ALS oracle when extrapolation is on — in
+    particular ERROR_CHECKING, whose accept test compares the candidate's
+    exact error against the model's current (leave-one-out) error, so both
+    must use the per-model LOO norm (reference line_search.cpp:86-153 +
+    cals.cpp:295-301)."""
+    key = jax.random.PRNGKey(7)
+    kx, k0, kn = jax.random.split(key, 3)
+    x = to_tensor(random_ktensor(kx, MODES, 3))
+    x = x + 1e-3 * jax.random.normal(kn, x.shape, x.dtype)
+    x_np = np.asarray(x)
+    kt_ref = random_ktensor(k0, MODES, 3)
+    n_iter = 13  # crosses two interval-5 extrapolation points
+
+    for method in ("error_checking", "no_error_checking"):
+        from cp_cals_tpu.config import LineSearchMethod
+
+        ls_kw = dict(
+            line_search=True,
+            line_search_interval=5,
+            line_search_method=LineSearchMethod(method),
+        )
+        for fiber in [0, MODES[0] - 1]:
+            params = CalsParams(
+                max_iterations=n_iter, force_max_iter=True,
+                bucket_ranks=(4,), **ls_kw,
+            )
+            results, _ = cp_cals(x, [kt_ref], params, jk_fibers=[fiber])
+            kt_jk = results[0]
+
+            x_sub = jnp.asarray(np.delete(x_np, fiber, axis=0))
+            f0 = np.delete(np.asarray(kt_ref.factors[0]), fiber, axis=0)
+            kt0_sub = Ktensor(
+                (jnp.asarray(f0),) + tuple(kt_ref.factors[1:]), kt_ref.lam
+            )
+            ap = AlsParams(
+                max_iterations=n_iter, force_max_iter=True, **ls_kw
+            )
+            kt_sub, _ = cp_als(x_sub, kt0_sub, ap)
+
+            f0_jk = np.delete(np.asarray(kt_jk.factors[0]), fiber, axis=0)
+            kt_jk_reg = Ktensor(
+                (jnp.asarray(f0_jk),) + tuple(kt_jk.factors[1:]), kt_jk.lam
+            )
+            np.testing.assert_allclose(
+                to_tensor(kt_jk_reg), to_tensor(kt_sub), atol=1e-10,
+                err_msg=f"ls={method} fiber={fiber}",
+            )
+
+
+def test_jk_4d():
+    """N-D jackknife: the full pipeline (masked fiber, LOO norms, rescale,
+    LSAP adjustment over all non-jackknifed modes) on a 4-D tensor —
+    beyond the reference, which is 3-D only here (utils.cpp:53-101)."""
+    modes4 = (5, 4, 3, 3)
+    key = jax.random.PRNGKey(11)
+    kx, k0, kn = jax.random.split(key, 3)
+    x = to_tensor(random_ktensor(kx, modes4, 2))
+    x = x + 1e-3 * jax.random.normal(kn, x.shape, x.dtype)
+    kt_fit, _ = cp_als(x, random_ktensor(k0, modes4, 2),
+                       AlsParams(tol=1e-10, max_iterations=300))
+    n_iter = 15
+    a = jk_cp_cals(x, [kt_fit], CalsParams(max_iterations=n_iter,
+                                           force_max_iter=True,
+                                           bucket_ranks=(2,)))
+    b = jk_cp_als(x, [kt_fit], AlsParams(max_iterations=n_iter,
+                                         force_max_iter=True))
+    assert len(a.results[0]) == modes4[0]
+    for ka, kb in zip(a.results[0], b.results[0]):
+        for fa, fb in zip(ka.factors, kb.factors):
+            fa, fb = np.asarray(fa), np.asarray(fb)
+            mask = np.isfinite(fa)
+            assert (mask == np.isfinite(fb)).all()
+            np.testing.assert_allclose(fa[mask], fb[mask], atol=1e-8)
+
+
 def test_jk_cp_cals_equals_jk_cp_als():
     """FunctionCorrectness (test_cals.cpp:299-362)."""
     key = jax.random.PRNGKey(2)

@@ -122,3 +122,33 @@ def test_timers_trace_csv(tmp_path):
     assert tr.total_flops == 1900
     with open(p) as f:
         assert f.readline().startswith("ITER;MODELS;COLS")
+
+
+def test_api_cp_cals_hybrid():
+    """Two-phase hybrid driver (reference matlab_cp_cals_hybrid.cpp:159-207):
+    best model per distinct rank is selected and jackknifed."""
+    from cp_cals_tpu.api import cp_cals_hybrid
+
+    x = np.array(to_tensor(random_ktensor(jax.random.PRNGKey(3), (6, 5, 4), 2)))
+    x += 1e-3 * np.random.default_rng(1).normal(size=x.shape)
+    result, best_models, jk = cp_cals_hybrid(
+        x, ranks=[2, 2, 3], maxiters=40, tol=1e-7, seed=1
+    )
+    assert len(result.ktensors) == 3
+    assert sorted(kt.rank for kt in best_models) == [2, 3]
+    # The selected rank-2 model is the better of the two rank-2 fits.
+    errs2 = [
+        e for kt, e in zip(result.ktensors, result.errors) if kt.rank == 2
+    ]
+    best2 = next(kt for kt in best_models if kt.rank == 2)
+    best2_err = min(
+        e for kt, e in zip(result.ktensors, result.errors)
+        if kt.rank == 2 and np.allclose(np.asarray(kt.lam), np.asarray(best2.lam))
+    )
+    assert best2_err == min(errs2)
+    # One replicate per mode-0 fiber for each selected model.
+    assert len(jk.results) == 2
+    for reps in jk.results:
+        assert len(reps) == x.shape[0]
+        f0 = np.asarray(reps[0].factors[0])
+        assert np.isnan(f0).any()  # left-out fiber row is NaN after rescale
