@@ -80,7 +80,12 @@ def main():
         tol=1e-6,
         max_iterations=10 if SMOKE else 50,
         force_max_iter=True,
-        buffer_size=4200,
+        # The reference's buffer_size=4200 counts TRUE columns and exactly
+        # holds this whole workload (sum of ranks = 20*(1+..+20) = 4200).
+        # Ours is a PADDED-column budget (buckets pad rank up), so the
+        # matched capacity is sum over models of bucket_rank = 5760 — same
+        # workload concurrency, honest padded accounting.
+        buffer_size=5760,
         bucket_ranks=(4, 8, 12, 16, 20),
         line_search=False,
         # bf16_3x matmul passes: f32-equivalent accuracy for this workload

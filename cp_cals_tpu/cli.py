@@ -50,6 +50,10 @@ def parse_args(argv=None):
                    help="shard the model batch over this many devices")
     p.add_argument("--tp", type=int, default=1,
                    help="shard tensor mode 0 over this many devices")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() "
+                        "before touching devices (run on every host of a "
+                        "pod slice; see scripts/run_pod_slice.sh)")
     return p.parse_args(argv)
 
 
@@ -57,6 +61,17 @@ def main(argv=None):
     args = parse_args(argv)
     if args.f64:
         jax.config.update("jax_enable_x64", True)
+    if args.distributed:
+        # Must run before any backend/device initialization so every host
+        # joins one coordinated runtime instead of running an independent
+        # single-host job.
+        from .parallel import distributed
+
+        distributed.initialize()
+        print(
+            f"host {jax.process_index()}/{jax.process_count()}: "
+            f"{jax.local_device_count()} local / {jax.device_count()} chips"
+        )
 
     from .config import AlsParams, CalsParams, UpdateMethod
     from .ktensor import random_ktensor, to_tensor

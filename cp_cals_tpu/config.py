@@ -125,6 +125,10 @@ class CalsParams:
     # but one bucket's host work overlaps another's device work
     # (measured on the EEM bench: 1 thread 185 models/s, 2 -> 336, 4 -> ~388).
     bucket_threads: int = 4
+    # Max halvings of a drained bucket's batch (tail compaction). Each
+    # halving is one more compiled program shape; deeper compaction saves
+    # dead-slot compute but costs compile time on cold caches.
+    tail_compaction_depth: int = 2
     # Debug oracle: warn when a model's error rises > 1e-4 between
     # iterations (reference als.cpp:233-238 warn / cals.cpp:299 assert).
     debug: bool = False

@@ -128,6 +128,64 @@ def _round_batch(n: int) -> int:
     return ((n + 31) // 32) * 32
 
 
+def _next_batch_size(b: int) -> int:
+    """Next size up on the quantized batch grid (1,2,4,...,32,64,96,...)."""
+    if b < 32:
+        return _next_pow2(b + 1)
+    return b + 32
+
+
+def allocate_bucket_batches(
+    demands: dict[int, int], buffer_size: int
+) -> list[dict[int, int]]:
+    """Split one GLOBAL column budget across rank buckets.
+
+    The reference's ``buffer_size`` is a single column budget shared by every
+    concurrent model (include/cals.h:151, first-fit intake with BufferFull
+    backpressure). Static XLA shapes rule out per-iteration first-fit, so the
+    budget is split ahead of time: each bucket gets a quantized batch such
+    that the aggregate allocated (padded) columns stay <= buffer_size.
+
+    demands: {bucket_rank: n_models}. Returns a list of "waves": each wave
+    maps bucket_rank -> batch and fits in the budget on its own; waves run
+    sequentially (the analog of intake backpressure when even one slot per
+    bucket overflows). A single model wider than the whole budget still gets
+    one slot (the reference driver guards that case before intake).
+    """
+    waves: list[dict[int, int]] = []
+    todo = sorted(demands.items())
+    while todo:
+        wave: dict[int, int] = {}
+        budget = buffer_size
+        rest: list[tuple[int, int]] = []
+        for r, n in todo:
+            if wave and budget < r:
+                rest.append((r, n))  # next wave
+            else:
+                wave[r] = 1
+                budget -= r
+        # Water-fill the leftover budget: grow the cheapest bucket (fewest
+        # allocated columns) one quantized step at a time, never past its
+        # own demand's quantized size.
+        grew = True
+        while grew:
+            grew = False
+            for r in sorted(wave, key=lambda rr: wave[rr] * rr):
+                cap = _round_batch(demands[r])
+                if wave[r] >= cap:
+                    continue
+                nb = min(_next_batch_size(wave[r]), cap)
+                extra = (nb - wave[r]) * r
+                if extra <= budget:
+                    budget -= extra
+                    wave[r] = nb
+                    grew = True
+                    break
+        waves.append(wave)
+        todo = rest
+    return waves
+
+
 def make_run_until_evict(iteration):
     """Device-side loop: iterate the whole bucket, freezing each model at its
     convergence point, until at least one live model has converged.
@@ -156,6 +214,16 @@ def make_run_until_evict(iteration):
     return run
 
 
+def _bucket_demands(
+    queue: Sequence[Ktensor], params: CalsParams
+) -> dict[int, int]:
+    sizes: dict[int, int] = {}
+    for kt in queue:
+        r = bucket_rank(kt.rank, params.bucket_ranks)
+        sizes[r] = sizes.get(r, 0) + 1
+    return sizes
+
+
 def precompile_buckets(
     x: Array, queue: Sequence[Ktensor], params: CalsParams
 ) -> None:
@@ -168,13 +236,10 @@ def precompile_buckets(
 
     x = jnp.asarray(x)
     dtype = queue[0].lam.dtype
-    sizes: dict[int, int] = {}
-    for kt in queue:
-        r = bucket_rank(kt.rank, params.bucket_ranks)
-        sizes[r] = sizes.get(r, 0) + 1
+    sizes = _bucket_demands(queue, params)
+    waves = allocate_bucket_batches(sizes, params.buffer_size)
 
-    def compile_one(r, n):
-        b = _round_batch(max(1, min(params.buffer_size // r, n)))
+    def compile_one(r, b):
         if params.mttkrp_method.value == "auto":
             from ..utils.lut import lookup_methods
 
@@ -184,14 +249,22 @@ def precompile_buckets(
         step, run_until_evict = _jitted_programs(params, methods)
         factors = tuple(jnp.zeros((b, m, r), dtype) for m in x.shape)
         kt = Ktensor(factors, jnp.zeros((b, r), dtype))
-        # All-zero alive models converge after one iteration (fit stays 0),
-        # so a real call both compiles and terminates immediately.
+        # Warm-up state that terminates after ONE real iteration: an
+        # all-False rank_mask gives an identity normal matrix (no NaN
+        # Cholesky) and fit pinned at 0, and iters = max_iterations - 1
+        # makes the very first iteration trip the eviction condition even
+        # under force_max_iter — so this compiles the exact production
+        # program without burning max_iterations of device time.
         state = init_state(
             kt,
             jnp.asarray(1.0, dtype),
             nnls=params.update_method == UpdateMethod.NNLS,
             line_search=params.line_search,
+            rank_mask=jnp.zeros((b, r), bool),
             alive=True,
+        )
+        state = state._replace(
+            iters=jnp.full((b,), params.max_iterations - 1, jnp.int32)
         )
         if params.sync_mode == "evict" and not params.always_evict_first:
             out = run_until_evict(x, state, jnp.asarray(1.0, dtype))
@@ -199,8 +272,9 @@ def precompile_buckets(
             out = step(x, state, jnp.asarray(1.0, dtype))
         np.asarray(out.converged)  # sync
 
+    jobs = [(r, b) for wave in waves for r, b in wave.items()]
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
-        list(ex.map(lambda rn: compile_one(*rn), sizes.items()))
+        list(ex.map(lambda rb: compile_one(*rb), jobs))
 
 
 def cp_cals(
@@ -213,6 +287,8 @@ def cp_cals(
     shard_mode0: bool = False,
     trace=None,
     checkpoint_dir: str | None = None,
+    resume: bool = False,
+    max_rounds_per_bucket: int | None = None,
 ) -> tuple[list[Ktensor], CalsReport]:
     """Fit every model in ``queue`` concurrently. Returns fitted models in
     input order plus a report.
@@ -225,6 +301,17 @@ def cp_cals(
     over dp (and the tensor's mode 0 over tp when shard_mode0). Input
     shardings propagate through the jitted engine programs; collectives are
     inserted by the SPMD partitioner.
+
+    checkpoint_dir: snapshot each bucket's full solver state + completed
+    results after every eviction round. With ``resume=True``, restart an
+    interrupted run from those snapshots: completed models are loaded from
+    disk, in-flight models resume mid-solve, and only the rest of the queue
+    is refit. Resume requires the same tensor, queue, and params as the
+    original call.
+
+    max_rounds_per_bucket: stop each bucket after this many eviction rounds
+    (for time-budgeted/checkpointed runs); unfinished models are returned
+    as None.
     """
     if not queue:
         return [], CalsReport()
@@ -261,6 +348,14 @@ def cp_cals(
         r = bucket_rank(kt.rank, params.bucket_ranks)
         buckets[r].append((i, kt, jk))
 
+    # One GLOBAL column budget across buckets (reference include/cals.h:151):
+    # allocate quantized batches so aggregate padded columns <= buffer_size;
+    # if even one slot per bucket overflows, buckets run in sequential waves
+    # (the analog of BufferFull intake backpressure).
+    waves = allocate_bucket_batches(
+        {r: len(dq) for r, dq in buckets.items()}, params.buffer_size
+    )
+
     # always_evict_first needs per-iteration host control; block mode waits
     # for genuine convergence.
     use_blocks = params.sync_mode == "evict" and not params.always_evict_first
@@ -271,17 +366,14 @@ def cp_cals(
     # transfers overlap with later buckets' compute.
     pending: list = []
 
-    def run_bucket(r, dq):
-        """One bucket's full solve. Device compute serializes across
-        buckets, but running several bucket loops in threads overlaps one
-        bucket's host work (conv fetches, gathers, packing) with another's
-        device compute."""
+    def run_bucket(r, dq, b):
+        """One bucket's full solve at its budget-allocated batch size ``b``.
+        Device compute serializes across buckets, but running several bucket
+        loops in threads overlaps one bucket's host work (conv fetches,
+        gathers, packing) with another's device compute."""
         local_models: list = []
         local_pending: list = []
-        # Quantized batch size: bounds the set of compiled program shapes
-        # (each (B, R) pair is one XLA program; vacant slots are cheap but
-        # not free — they run dead compute).
-        b = _round_batch(max(1, min(params.buffer_size // r, len(dq))))
+        local_done: dict[int, Ktensor] = {}
         if params.mttkrp_method.value == "auto":
             from ..utils.lut import lookup_methods
 
@@ -310,14 +402,112 @@ def cp_cals(
             slot_meta[slot] = (i, kt.rank, jk)
             return _fill_slot(state, jnp.asarray(slot), make_slot_state(kt, jk))
 
+        # ------------------------------------------------- checkpoint setup
+        import os as _os
+        import time as _time
+
+        ckpt_state_path = ckpt_done_path = None
+        bucket_done_meta: list[list] = []
+        if checkpoint_dir is not None:
+            _os.makedirs(checkpoint_dir, exist_ok=True)
+            ckpt_state_path = _os.path.join(checkpoint_dir, f"bucket_r{r}")
+            ckpt_done_path = _os.path.join(checkpoint_dir, f"done_r{r}.npz")
+
+        resumed = False
+        if resume and ckpt_state_path is not None and _os.path.exists(
+            ckpt_state_path + ".meta.json"
+        ):
+            from ..utils.checkpoint import load_state
+
+            import json as _json
+
+            with open(ckpt_state_path + ".meta.json") as fh:
+                meta = _json.load(fh).get("meta", {})
+            slot_meta = [
+                tuple(m) if m is not None else None
+                for m in meta["slot_meta"]
+            ]
+            b = len(slot_meta)
+            bucket_done_meta = [list(m) for m in meta.get("done", [])]
+            # Rebuild a shape/dtype template at the snapshot's batch size,
+            # then restore the leaves.
+            factors = tuple(jnp.zeros((b, m, r), dtype) for m in x.shape)
+            template = init_state(
+                Ktensor(factors, jnp.zeros((b, r), dtype)),
+                x_norm,
+                nnls=nnls,
+                line_search=params.line_search,
+            )
+            state, _ = load_state(ckpt_state_path, template)
+            # Alive strictly follows host slot occupancy (snapshots may
+            # predate the post-eviction alive-mask update).
+            state = _mask_alive(
+                state, jnp.asarray([m is not None for m in slot_meta])
+            )
+            # Completed + in-flight models leave the queue; completed
+            # factors come back from the done archive.
+            skip = {int(m[0]) for m in bucket_done_meta}
+            skip |= {m[0] for m in slot_meta if m is not None}
+            for _ in range(len(dq)):
+                item = dq.popleft()
+                if item[0] not in skip:
+                    dq.append(item)
+            if bucket_done_meta and _os.path.exists(ckpt_done_path):
+                done_npz = np.load(ckpt_done_path)
+                for mid, rank, iters_, fit_, err_ in bucket_done_meta:
+                    mid = int(mid)
+                    local_done[mid] = Ktensor(
+                        tuple(
+                            done_npz[f"{mid}_f{m}"] for m in range(x.ndim)
+                        ),
+                        done_npz[f"{mid}_lam"],
+                    )
+                    local_models.append(
+                        CalsModelReport(
+                            id=mid, rank=int(rank), iters=int(iters_),
+                            fit=float(fit_), approx_error=float(err_),
+                        )
+                    )
+            if mesh is not None:
+                from ..parallel.sharding import state_pspecs, to_shardings
+
+                state = jax.device_put(
+                    state, to_shardings(mesh, state_pspecs(state, shard_mode0))
+                )
+            resumed = True
+
+        def save_checkpoint(state, slot_meta):
+            if ckpt_state_path is None:
+                return
+            # Completed factors are archived alongside the state so a
+            # resumed run never refits finished models (SURVEY §5.4).
+            from ..utils.checkpoint import save_state
+
+            arrays = {}
+            for mid, kt_h in local_done.items():
+                for m, f in enumerate(kt_h.factors):
+                    arrays[f"{mid}_f{m}"] = np.asarray(f)
+                arrays[f"{mid}_lam"] = np.asarray(kt_h.lam)
+            if arrays:
+                np.savez(ckpt_done_path, **arrays)
+            save_state(
+                ckpt_state_path,
+                state,
+                {
+                    "slot_meta": [
+                        list(m) if m else None for m in slot_meta
+                    ],
+                    "bucket_rank": r,
+                    "done": bucket_done_meta,
+                },
+            )
+
         # Initial intake: pack the first B models host-side and ship them in
         # ONE transfer + one gramian-init program, instead of B scatter
         # dispatches (each device round-trip costs ~10ms over slow links).
-        import time as _time
-
         pt = {"setup": 0.0, "solve": 0.0, "evict": 0.0}
         _t0 = _time.perf_counter()
-        n0 = min(b, len(dq))
+        n0 = 0 if resumed else min(b, len(dq))
         if n0 > 0:
             batch = [dq.popleft() for _ in range(n0)]
             for slot, (i, kt, jk) in enumerate(batch):
@@ -367,6 +557,8 @@ def cp_cals(
 
         pt["setup"] = _time.perf_counter() - _t0
         engine_iters = 0
+        rounds = 0
+        n_compactions = 0
         while any(m is not None for m in slot_meta):
             _t0 = _time.perf_counter()
             if use_blocks:
@@ -425,74 +617,101 @@ def cp_cals(
                     except Exception:
                         pass
                 block_models = []
-                local_pending.append((kt_ev, block_models))
+                if checkpoint_dir is None:
+                    local_pending.append((kt_ev, block_models))
+                else:
+                    # Checkpointed runs materialize results now so the done
+                    # archive on disk is complete after every round.
+                    kt_np = jax.tree.map(np.asarray, kt_ev)
                 for pos, slot in enumerate(evicted):
                     i, rank, jk = slot_meta[slot]
-                    block_models.append((pos, i, rank))
-                    local_models.append(
-                        CalsModelReport(
-                            id=i,
-                            rank=rank,
-                            iters=int(iters_h[slot]),
-                            fit=float(fit_h[slot]),
-                            approx_error=float(err_h[slot]),
-                        )
+                    rep_m = CalsModelReport(
+                        id=i,
+                        rank=rank,
+                        iters=int(iters_h[slot]),
+                        fit=float(fit_h[slot]),
+                        approx_error=float(err_h[slot]),
                     )
+                    local_models.append(rep_m)
+                    if checkpoint_dir is None:
+                        block_models.append((pos, i, rank))
+                    else:
+                        local_done[i] = Ktensor(
+                            tuple(
+                                f[pos, :, :rank] for f in kt_np.factors
+                            ),
+                            kt_np.lam[pos, :rank],
+                        )
+                        bucket_done_meta.append(
+                            [i, rank, rep_m.iters, rep_m.fit,
+                             rep_m.approx_error]
+                        )
                     slot_meta[slot] = None
                     if dq:
                         state = fill(state, slot)
                     else:
                         keep[slot] = False
             pt["evict"] += _time.perf_counter() - _t0
-            if checkpoint_dir is not None:
-                # Snapshot after every eviction round (SURVEY §5.4 — the
-                # reference has no checkpointing; all solver progress lives
-                # in this one pytree + the host slot metadata).
-                import os as _os
-
-                from ..utils.checkpoint import save_state
-
-                save_state(
-                    _os.path.join(checkpoint_dir, f"bucket_r{r}"),
-                    state,
-                    {
-                        "slot_meta": [
-                            list(m) if m else None for m in slot_meta
-                        ],
-                        "bucket_rank": r,
-                    },
-                )
             if not keep.all():
                 state = _mask_alive(state, jnp.asarray(keep))
+            if evicted:
+                rounds += 1
+                save_checkpoint(state, slot_meta)
+                if (
+                    max_rounds_per_bucket is not None
+                    and rounds >= max_rounds_per_bucket
+                ):
+                    break
             # Tail compaction: once the queue is drained and the bucket is
             # at most half occupied, repack live slots into a half-size
-            # batch so frozen/vacant slots stop consuming MXU time.
+            # batch so frozen/vacant slots stop consuming MXU time. Depth
+            # is capped (params.tail_compaction_depth): each halving is one
+            # more compiled program shape, a poor trade below ~1 compile's
+            # worth of saved device time.
             n_live = sum(m is not None for m in slot_meta)
-            while not dq and b > 1 and n_live <= b // 2:
+            while (
+                not dq
+                and b > 1
+                and n_live <= b // 2
+                and n_compactions < params.tail_compaction_depth
+            ):
                 live_idx = [s for s in range(b) if slot_meta[s] is not None]
                 pad_idx = [s for s in range(b) if slot_meta[s] is None]
                 idx = live_idx + pad_idx[: b // 2 - len(live_idx)]
                 state = _gather_slots(state, jnp.asarray(idx, jnp.int32))
                 slot_meta = [slot_meta[s] for s in idx]
                 b //= 2
-        return local_models, local_pending, pt, engine_iters
+                n_compactions += 1
+        return local_models, local_pending, local_done, pt, engine_iters
 
-    n_threads = min(params.bucket_threads, len(buckets)) or 1
-    items = sorted(buckets.items())
-    if n_threads > 1 and trace is None:
-        import concurrent.futures
-
-        with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
-            outs = list(ex.map(lambda rd: run_bucket(*rd), items))
-    else:
-        outs = [run_bucket(r, dq) for r, dq in items]
-    for (r, _), (local_models, local_pending, pt, engine_iters) in zip(items, outs):
-        report.models.extend(local_models)
-        pending.extend(local_pending)
-        report.phase_times[r] = pt
-        report.engine_iterations[r] = engine_iters if not use_blocks else max(
-            (m.iters for m in local_models), default=0
+    for wave in waves:
+        items = sorted(
+            ((r, buckets[r], b) for r, b in wave.items()),
+            key=lambda t: t[0],
         )
+        n_threads = min(params.bucket_threads, len(items)) or 1
+        if n_threads > 1 and trace is None:
+            import concurrent.futures
+
+            with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
+                outs = list(ex.map(lambda rdb: run_bucket(*rdb), items))
+        else:
+            outs = [run_bucket(r, dq, b) for r, dq, b in items]
+        for (r, _, _), (
+            local_models, local_pending, local_done, pt, engine_iters
+        ) in zip(items, outs):
+            report.models.extend(local_models)
+            pending.extend(local_pending)
+            results.update(local_done)
+            report.phase_times[r] = pt
+            if trace is not None:
+                for k, v in pt.items():
+                    trace.phase_totals[k] += v
+            report.engine_iterations[r] = (
+                engine_iters
+                if not use_blocks
+                else max((m.iters for m in local_models), default=0)
+            )
 
     for kt_ev, block_models in pending:
         kt_np = jax.tree.map(np.asarray, kt_ev)
@@ -503,4 +722,5 @@ def cp_cals(
             )
 
     report.models.sort(key=lambda m: m.id)
-    return [results[i] for i in range(len(queue))], report
+    # Unfinished models (max_rounds_per_bucket interrupted runs) are None.
+    return [results.get(i) for i in range(len(queue))], report

@@ -31,16 +31,11 @@ class Timer:
 
     def stop(self) -> float:
         dt = time.perf_counter() - self._start
-        self.t = dt
+        self.t += dt
         return dt
 
     def get_time(self) -> float:
         return self.t
-
-
-# Phase names follow the reference taxonomies (timer.h:29-52).
-ALS_TIMERS = ("ITERATION", "ERROR", "LINE_SEARCH", "EVICTION", "REFILL")
-MODE_TIMERS = ("MTTKRP", "UPDATE")
 
 
 @dataclass

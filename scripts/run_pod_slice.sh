@@ -14,12 +14,8 @@ cd "$REPO"
 
 : "${WORKLOAD:=-t 299-301-41 -c 1:20:20}"
 
-python - <<'PY'
-from cp_cals_tpu.parallel import distributed
-distributed.initialize()
-import jax
-print(f"host {jax.process_index()}/{jax.process_count()}: "
-      f"{jax.local_device_count()} local / {jax.device_count()} global chips")
-PY
-
-python -m cp_cals_tpu.cli ${WORKLOAD}
+# --distributed makes the workload process itself call
+# jax.distributed.initialize() before touching devices, so every host joins
+# ONE coordinated run (a separate init in a throwaway interpreter would
+# leave the actual job uncoordinated).
+python -m cp_cals_tpu.cli --distributed ${WORKLOAD}

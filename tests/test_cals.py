@@ -157,3 +157,73 @@ def test_engine_checkpointing(tmp_path):
 
     meta = json.load(open(tmp_path / "bucket_r4.meta.json"))["meta"]
     assert meta["bucket_rank"] == 4
+
+
+def test_allocate_bucket_batches():
+    """The global column budget (reference include/cals.h:151): aggregate
+    allocated padded columns stay <= buffer_size, split across buckets."""
+    from cp_cals_tpu.solvers.cals import allocate_bucket_batches
+
+    # EEM-bench-like demand: one wave, budget respected, every bucket served.
+    waves = allocate_bucket_batches(
+        {4: 80, 8: 80, 12: 80, 16: 80, 20: 80}, 4200
+    )
+    assert len(waves) == 1
+    assert set(waves[0]) == {4, 8, 12, 16, 20}
+    assert sum(b * r for r, b in waves[0].items()) <= 4200
+    assert all(b >= 1 for b in waves[0].values())
+
+    # Plenty of budget: every bucket gets its full (quantized) demand.
+    waves = allocate_bucket_batches({4: 6, 8: 3}, 4200)
+    assert waves == [{4: 8, 8: 4}]
+
+    # A single model wider than the budget is still admitted (alone).
+    assert allocate_bucket_batches({64: 1}, 16) == [{64: 1}]
+
+    # Budget too small for one slot per bucket -> sequential waves, each
+    # within budget.
+    waves = allocate_bucket_batches({2: 2, 4: 2}, 4)
+    assert len(waves) == 2
+    for w in waves:
+        assert sum(b * r for r, b in w.items()) <= 4
+
+
+def test_cals_waves_tiny_budget_equals_als():
+    """Engine correctness when the budget forces sequential bucket waves."""
+    x, kts = make_problem(9, n_models=8, ranks=(1, 2, 3, 4))
+    params = CalsParams(tol=1e-9, buffer_size=6, bucket_ranks=(2, 4))
+    results, rep = cp_cals(x, kts, params)
+    for kt0, kt_cals, mrep in zip(kts, results, rep.models):
+        kt_als, rep_als = cp_als(x, kt0, AlsParams(tol=1e-9))
+        assert rep_als.iters == mrep.iters
+        np.testing.assert_allclose(
+            to_tensor(kt_cals), to_tensor(kt_als), atol=TOL
+        )
+
+
+def test_checkpoint_resume(tmp_path):
+    """Kill-and-resume: an interrupted checkpointed run, resumed, must
+    reproduce the uninterrupted run exactly (completed models come from the
+    done archive, in-flight models continue mid-solve, the rest refit)."""
+    x, kts = make_problem(8, n_models=10, ranks=(2, 3))
+    params = CalsParams(tol=1e-9, buffer_size=16, bucket_ranks=(4,))
+    want, rep_w = cp_cals(x, kts, params)
+
+    part, _ = cp_cals(
+        x, kts, params, checkpoint_dir=str(tmp_path), max_rounds_per_bucket=1
+    )
+    assert any(k is None for k in part), "run should have been interrupted"
+    done_before = sum(k is not None for k in part)
+    assert done_before >= 1
+
+    got, rep_g = cp_cals(
+        x, kts, params, checkpoint_dir=str(tmp_path), resume=True
+    )
+    assert all(k is not None for k in got)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(
+            np.asarray(to_tensor(a)), np.asarray(to_tensor(b)), atol=TOL
+        )
+    for ma, mb in zip(rep_w.models, rep_g.models):
+        assert (ma.id, ma.rank, ma.iters) == (mb.id, mb.rank, mb.iters)
+        np.testing.assert_allclose(ma.approx_error, mb.approx_error, atol=TOL)
