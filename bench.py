@@ -130,6 +130,8 @@ def main():
     vs_baseline = est_baseline_s / wall_s
 
     mean_fit = sum(m.fit for m in rep.models) / n_models
+    from cp_cals_tpu.utils.roofline import mfu, mxu_utilization
+
     out = {
         "metric": "cpd_models_converged_per_sec",
         "value": round(models_per_sec, 3),
@@ -144,6 +146,40 @@ def main():
         "useful_gflops": round(useful_flops / 1e9, 1),
         "device": str(jax.devices()[0]),
     }
+    # Fraction-of-roofline (VERDICT r1 #3): mfu counts algorithmic FLOPs
+    # against the chip's bf16 peak; mxu_util additionally counts the 3
+    # bf16 passes the precision="high" (bf16_3x) matmuls execute.
+    m_ = mfu(tflops)
+    if m_ is not None:
+        out["mfu"] = round(m_, 4)
+        out["mxu_util"] = round(mxu_utilization(tflops, params.precision), 4)
+    # Per-mode device time split, from the committed same-shape microbench
+    # profile when available (scripts/profile_iteration.py output).
+    prof_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "data", "benchmarks", "profile_r20_b96.json",
+    )
+    if os.path.exists(prof_path):
+        try:
+            with open(prof_path) as f:
+                prof = json.load(f)
+            split = {}
+            for mode in range(3):
+                best = min(
+                    (
+                        v["ms"]
+                        for k, v in prof.items()
+                        if isinstance(v, dict) and f"mttkrp_m{mode}_" in k
+                    ),
+                    default=None,
+                )
+                if best is not None:
+                    split[f"mode{mode}_ms"] = round(best, 3)
+            if split and "iteration_ms" in prof:
+                split["iteration_ms"] = round(prof["iteration_ms"], 3)
+                out["mode_split_microbench_r20_b96"] = split
+        except Exception:
+            pass
     if os.environ.get("BENCH_VERBOSE"):
         out["phase_times"] = {
             str(r): {k: round(v, 3) for k, v in pt.items()}

@@ -24,6 +24,11 @@ def main(argv=None):
     p.add_argument("-t", "--tensor", default="299-301-41")
     p.add_argument("--ranks", default="4,8,16,32")
     p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--batches", default=None,
+                   help="comma list of batch sizes (overrides --batch); "
+                        "sweep the sizes the engine actually runs, e.g. "
+                        "the allocated bucket batch and its tail-compacted "
+                        "halves")
     p.add_argument("--reps", type=int, default=3)
     args = p.parse_args(argv)
 
@@ -33,13 +38,19 @@ def main(argv=None):
 
     modes = tuple(int(m) for m in args.tensor.split("-"))
     ranks = [int(r) for r in args.ranks.split(",")]
+    batches = (
+        [int(b) for b in args.batches.split(",")]
+        if args.batches
+        else [args.batch]
+    )
     table = {}
-    for r in ranks:
-        winners = autotune(modes, rank=r, batch=args.batch,
-                           dtype=jnp.float32, reps=args.reps)
-        table[r] = winners
-        print(f"rank {r:4d} batch {args.batch}: {winners}", flush=True)
-    print(json.dumps({str(k): v for k, v in table.items()}))
+    for b in batches:
+        for r in ranks:
+            winners = autotune(modes, rank=r, batch=b,
+                               dtype=jnp.float32, reps=args.reps)
+            table[f"{b}x{r}"] = winners
+            print(f"rank {r:4d} batch {b:4d}: {winners}", flush=True)
+    print(json.dumps(table))
 
 
 if __name__ == "__main__":

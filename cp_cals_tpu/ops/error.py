@@ -24,6 +24,79 @@ from ..ktensor import Ktensor, denormalize, to_tensor
 Array = jax.Array
 
 
+# ---------------------------------------------------------------------------
+# Double-float ("df") compensated arithmetic for the fp32 TPU path.
+#
+# The FastALS error err^2 = |X|^2 + lam^T H lam - 2*term3 subtracts terms of
+# magnitude O(|X|^2) to produce a result that is ~1e-5*|X|^2 near
+# convergence: in plain fp32 both the summations (~sqrt(n)*eps*|X|^2) and
+# the final cancellation destroy every significant digit below tol ~1e-5.
+# The reference sidesteps this with all-double BLAS (error.cpp:64-89); TPUs
+# have no fast fp64, so the reduction runs in error-free-transformed f32
+# pairs (Dekker/Knuth TwoSum/TwoProd): each value is (hi, lo) with
+# hi + lo exact to ~2^-48. The O(B*I*R) VPU cost is noise next to the
+# MTTKRP. XLA preserves IEEE add/mul semantics (no reassociation), which
+# these transforms rely on.
+# ---------------------------------------------------------------------------
+
+
+def _two_sum(a, b):
+    """Knuth TwoSum: s + e == a + b exactly."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _fast_two_sum(a, b):
+    """Dekker FastTwoSum (requires |a| >= |b|, which df_add guarantees)."""
+    s = a + b
+    return s, b - (s - a)
+
+
+def _split_const(dtype):
+    # 2^ceil(p/2) + 1 with p = mantissa bits: 4097 for f32, 2^27+1 for f64.
+    return 4097.0 if jnp.dtype(dtype) == jnp.float32 else 134217729.0
+
+
+def _two_prod(a, b):
+    """Dekker TwoProd (FMA-free): p + e == a * b exactly."""
+    c = jnp.asarray(_split_const(a.dtype), a.dtype)
+    ca = c * a
+    a_hi = ca - (ca - a)
+    a_lo = a - a_hi
+    cb = c * b
+    b_hi = cb - (cb - b)
+    b_lo = b - b_hi
+    p = a * b
+    e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, e
+
+
+def _df_add(x, y):
+    s, e = _two_sum(x[0], y[0])
+    return _fast_two_sum(s, e + x[1] + y[1])
+
+
+def _df_sum(hi: Array, lo: Array) -> tuple[Array, Array]:
+    """Tree-fold a df array over its LAST axis into one df value per batch
+    element: log2(n) vectorized df_add rounds (error stays at eps^2 level
+    regardless of n, unlike sequential or plain-tree f32 summation)."""
+    n = hi.shape[-1]
+    p = 1
+    while p < n:
+        p *= 2
+    pad = [(0, 0)] * (hi.ndim - 1) + [(0, p - n)]
+    hi = jnp.pad(hi, pad)
+    lo = jnp.pad(lo, pad)
+    while hi.shape[-1] > 1:
+        h = hi.shape[-1] // 2
+        hi, lo = _df_add(
+            (hi[..., :h], lo[..., :h]), (hi[..., h:], lo[..., h:])
+        )
+    return hi[..., 0], lo[..., 0]
+
+
 def fast_error(
     x_norm: Array,
     lam: Array,
@@ -40,19 +113,68 @@ def fast_error(
     gramian_hadamard: [..., R, R] elementwise product of ALL gramians.
     """
     dt = error_dtype()
-    lam64 = lam.astype(dt)
-    term2 = jnp.einsum(
-        "...i,...j,...ij->...", lam64, lam64, gramian_hadamard.astype(dt)
+    if jnp.dtype(dt) == jnp.float64:
+        # fp64 available (CPU oracle / x64 builds): plain wide reduction.
+        lam64 = lam.astype(dt)
+        term2 = jnp.einsum(
+            "...i,...j,...ij->...", lam64, lam64, gramian_hadamard.astype(dt)
+        )
+        term3 = jnp.einsum(
+            "...j,...ij,...ij->...",
+            lam64,
+            last_factor.astype(dt),
+            last_mttkrp.astype(dt),
+        )
+        x_norm = (
+            x_norm.astype(dt)
+            if hasattr(x_norm, "astype")
+            else jnp.asarray(x_norm, dt)
+        )
+        err2 = jnp.maximum(x_norm * x_norm + term2 - 2.0 * term3, 0.0)
+        return jnp.sqrt(err2).astype(lam.dtype)
+    return _fast_error_compensated(
+        x_norm, lam, last_factor, last_mttkrp, gramian_hadamard
     )
-    term3 = jnp.einsum(
-        "...j,...ij,...ij->...",
-        lam64,
-        last_factor.astype(dt),
-        last_mttkrp.astype(dt),
+
+
+def _fast_error_compensated(
+    x_norm, lam, last_factor, last_mttkrp, gramian_hadamard
+) -> Array:
+    """fp32 TPU path: the same reduction in double-float arithmetic.
+
+    Every product enters as an exact (hi, lo) pair and the sums/cancellation
+    run at ~2^-48 — the iteration-to-iteration noise floor of the computed
+    error is then set by the MTTKRP/gramian kernels' own f32 rounding, not
+    by this reduction (the fp32 analog of the reference's all-double
+    error.cpp:64-89; SURVEY §7 hard part).
+    """
+    dtype = lam.dtype
+    x_norm = jnp.asarray(x_norm, dtype)
+
+    # term3 = sum_{i,j} lam_j * U[i,j] * G[i,j] as exact triple products.
+    p1, e1 = _two_prod(last_factor, last_mttkrp)  # [..., I, R]
+    lam_b = lam[..., None, :]
+    p2, e2 = _two_prod(p1, jnp.broadcast_to(lam_b, p1.shape))
+    t3_hi = p2.reshape(*p2.shape[:-2], -1)
+    t3_lo = (e2 + e1 * lam_b).reshape(*p2.shape[:-2], -1)
+    t3 = _df_sum(t3_hi, t3_lo)
+
+    # term2 = sum_{i,j} lam_i * lam_j * H_ij.
+    ll_hi, ll_lo = _two_prod(
+        jnp.broadcast_to(lam[..., :, None], gramian_hadamard.shape),
+        jnp.broadcast_to(lam[..., None, :], gramian_hadamard.shape),
     )
-    x_norm = x_norm.astype(dt) if hasattr(x_norm, "astype") else jnp.asarray(x_norm, dt)
-    err2 = jnp.maximum(x_norm * x_norm + term2 - 2.0 * term3, 0.0)
-    return jnp.sqrt(err2).astype(lam.dtype)
+    q_hi, q_lo = _two_prod(ll_hi, gramian_hadamard)
+    t2_hi = q_hi.reshape(*q_hi.shape[:-2], -1)
+    t2_lo = (q_lo + ll_lo * gramian_hadamard).reshape(*q_hi.shape[:-2], -1)
+    t2 = _df_sum(t2_hi, t2_lo)
+
+    xn2 = _two_prod(x_norm, x_norm)
+
+    acc = _df_add(xn2, t2)
+    acc = _df_add(acc, (-2.0 * t3[0], -2.0 * t3[1]))
+    err2 = jnp.maximum(acc[0] + acc[1], 0.0)
+    return jnp.sqrt(err2).astype(dtype)
 
 
 def reconstruction_error(x: Array, kt: Ktensor) -> Array:

@@ -68,11 +68,20 @@ class CalsReport:
 
 
 @lru_cache(maxsize=64)
-def _jitted_programs(params: CalsParams, methods: tuple | None):
+def _jitted_programs(
+    params: CalsParams, methods: tuple | None, traced: bool = False
+):
     """One jitted (step, run_until_evict) pair per static config — reused
-    across cp_cals calls so repeated runs don't retrace."""
+    across cp_cals calls so repeated runs don't retrace. ``traced`` builds
+    the run_until_evict variant that records per-iteration device counters
+    (active models/columns) into a buffer."""
     iteration = make_iteration(params, batched=True, mttkrp_methods=methods)
-    return jax.jit(iteration), jax.jit(make_run_until_evict(iteration))
+    cap = params.max_iterations if traced else 0
+    # NOTE: state donation (donate_argnums=(1,)) is NOT safe here — the
+    # state pytree aliases leaves at rest (ls.prev/ls.backup start as the
+    # same buffers as kt; fresh slot states share zeros), and XLA rejects
+    # donating one buffer twice.
+    return jax.jit(iteration), jax.jit(make_run_until_evict(iteration, cap))
 
 
 def bucket_rank(rank: int, bucket_ranks: Sequence[int]) -> int:
@@ -101,6 +110,25 @@ def _slice_slot(tree, slot: int):
 @jax.jit
 def _mask_alive(state: SolverState, keep: Array) -> SolverState:
     return state._replace(alive=state.alive & keep)
+
+
+@jax.jit
+def _evict_stats(state: SolverState) -> Array:
+    """Pack everything the host eviction scan reads into ONE array so it
+    costs ONE device->host round trip (each fetch pays 30-40 ms dispatch+
+    transfer latency on tunneled devices; four separate fetches per
+    eviction round were a measurable fraction of the bench wall).
+    Row 0: converged&alive, 1: iters, 2: fit, 3: approx_error — all in the
+    state's float dtype (iters < 2^24 are exact; bool is exact)."""
+    dt = state.fit.dtype
+    return jnp.stack(
+        [
+            (state.converged & state.alive).astype(dt),
+            state.iters.astype(dt),
+            state.fit.astype(dt),
+            state.approx_error.astype(dt),
+        ]
+    )
 
 
 @jax.jit
@@ -186,7 +214,7 @@ def allocate_bucket_batches(
     return waves
 
 
-def make_run_until_evict(iteration):
+def make_run_until_evict(iteration, trace_cap: int = 0):
     """Device-side loop: iterate the whole bucket, freezing each model at its
     convergence point, until at least one live model has converged.
 
@@ -195,6 +223,13 @@ def make_run_until_evict(iteration):
     evict — frozen models' trajectories are bit-identical to immediate
     eviction, and the host round-trip (expensive on TPU) amortizes over the
     convergence gap between models.
+
+    trace_cap > 0 additionally records, per engine iteration, the number of
+    live models and live true-rank columns into a [trace_cap, 2] device
+    buffer (the analog of the reference's per-iteration active-column
+    counters, include/cals.h:61-62) — so observability works in the
+    production evict-mode path, not just the per-iteration sync mode.
+    Returns (state, buf, n_iterations) instead of just state.
     """
 
     def run(x, state: SolverState, x_norm):
@@ -202,14 +237,44 @@ def make_run_until_evict(iteration):
 
         prepared = iteration.prepare(x)  # hoisted out of the loop
 
-        def cond(s):
+        def live_mask(s):
+            return s.alive & jnp.logical_not(s.converged)
+
+        def cond(carry):
+            s = carry[0]
             return jnp.logical_not(jnp.any(s.converged & s.alive))
 
-        def body(s):
+        def body(carry):
+            if trace_cap:
+                s, buf, k = carry
+                live = live_mask(s)
+                row = jnp.stack(
+                    [
+                        jnp.sum(live).astype(jnp.int32),
+                        jnp.sum(
+                            s.rank_mask & live[..., None]
+                        ).astype(jnp.int32),
+                    ]
+                )
+                buf = jax.lax.dynamic_update_slice_in_dim(
+                    buf, row[None], jnp.minimum(k, trace_cap - 1), axis=0
+                )
+            else:
+                s = carry[0]
             new = iteration(x, s, x_norm, prepared)
-            return tree_where(s.converged & s.alive, s, new)
+            s2 = tree_where(s.converged & s.alive, s, new)
+            if trace_cap:
+                return (s2, buf, k + 1)
+            return (s2,)
 
-        return jax.lax.while_loop(cond, body, state)
+        if trace_cap:
+            buf0 = jnp.zeros((trace_cap, 2), jnp.int32)
+            s, buf, k = jax.lax.while_loop(
+                cond, body, (state, buf0, jnp.int32(0))
+            )
+            return s, buf, k
+        (s,) = jax.lax.while_loop(cond, body, (state,))
+        return s
 
     return run
 
@@ -270,7 +335,7 @@ def precompile_buckets(
             out = run_until_evict(x, state, jnp.asarray(1.0, dtype))
         else:
             out = step(x, state, jnp.asarray(1.0, dtype))
-        np.asarray(out.converged)  # sync
+        np.asarray(_evict_stats(out))  # sync + warm the stats packer too
 
     jobs = [(r, b) for wave in waves for r, b in wave.items()]
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
@@ -380,7 +445,8 @@ def cp_cals(
             methods = lookup_methods(x.shape, r, b)
         else:
             methods = None
-        step, run_until_evict = _jitted_programs(params, methods)
+        traced = trace is not None and use_blocks
+        step, run_until_evict = _jitted_programs(params, methods, traced)
         slot_meta: list[tuple[int, int, int] | None] = [None] * b  # (id, rank, jk)
 
         def make_slot_state(kt: Ktensor, jk: int):
@@ -562,13 +628,42 @@ def cp_cals(
         while any(m is not None for m in slot_meta):
             _t0 = _time.perf_counter()
             if use_blocks:
-                state = run_until_evict(x, state, x_norm)
+                if traced:
+                    state, tbuf, tk = run_until_evict(x, state, x_norm)
+                else:
+                    state = run_until_evict(x, state, x_norm)
             else:
                 state = step(x, state, x_norm)
                 engine_iters += 1
-            conv = np.asarray(state.converged & state.alive)
-            pt["solve"] += _time.perf_counter() - _t0
-            if not use_blocks and trace is not None:
+            stats = np.asarray(_evict_stats(state))
+            conv = stats[0] != 0
+            dt_solve = _time.perf_counter() - _t0
+            pt["solve"] += dt_solve
+            if traced:
+                # Per-iteration trace in the PRODUCTION evict-mode path:
+                # active models/columns come from device-side counters
+                # recorded inside the while_loop (reference cals.h:55-63
+                # records the same per-iteration active-column matrix);
+                # wall time is the block wall amortized per iteration (the
+                # device gives no per-iteration clock without a sync).
+                from ..ops.mttkrp import als_iteration_flops
+                from ..utils.timers import IterationRecord
+
+                k = int(tk)
+                rows = np.asarray(tbuf)[:k]
+                for j, (n_live, n_cols) in enumerate(rows):
+                    trace.add(
+                        IterationRecord(
+                            iteration=engine_iters + j + 1,
+                            active_models=int(n_live),
+                            active_columns=int(n_cols),
+                            flops=als_iteration_flops(x.shape, r, b),
+                            wall_s=dt_solve / max(k, 1),
+                            bucket=r,
+                        )
+                    )
+                engine_iters += k
+            elif not use_blocks and trace is not None:
                 # Per-iteration trace (reference cals.h:55-63 records active
                 # column counts + FLOPs per iteration).
                 from ..ops.mttkrp import als_iteration_flops
@@ -582,6 +677,7 @@ def cp_cals(
                         active_columns=sum(m[1] for m in live),
                         flops=als_iteration_flops(x.shape, r, b),
                         wall_s=_time.perf_counter() - _t0,
+                        bucket=r,
                     )
                 )
             if params.always_evict_first and not use_blocks:
@@ -603,9 +699,9 @@ def cp_cals(
                 # gather + async host copies that overlap with the next
                 # bucket's compute; materialized after all buckets finish.
                 # The per-slot alternative costs ~4 dispatches per model.
-                iters_h = np.asarray(state.iters)
-                fit_h = np.asarray(state.fit)
-                err_h = np.asarray(state.approx_error)
+                iters_h = stats[1]
+                fit_h = stats[2]
+                err_h = stats[3]
                 # Exact-size gather: transfer bandwidth dominates over
                 # compile-per-length here (lengths repeat across blocks).
                 kt_ev = jax.tree.map(
@@ -689,8 +785,10 @@ def cp_cals(
             ((r, buckets[r], b) for r, b in wave.items()),
             key=lambda t: t[0],
         )
+        # Tracing works threaded too: RunTrace.add is a list append (atomic
+        # under the GIL) and records carry their bucket rank.
         n_threads = min(params.bucket_threads, len(items)) or 1
-        if n_threads > 1 and trace is None:
+        if n_threads > 1:
             import concurrent.futures
 
             with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
@@ -709,7 +807,7 @@ def cp_cals(
                     trace.phase_totals[k] += v
             report.engine_iterations[r] = (
                 engine_iters
-                if not use_blocks
+                if (not use_blocks or engine_iters > 0)
                 else max((m.iters for m in local_models), default=0)
             )
 

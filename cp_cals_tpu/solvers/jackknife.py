@@ -171,7 +171,6 @@ def jk_cp_batched_als(
     program against the FULL tensor with masked fibers."""
     import time
 
-    from .als import _run_vmap_als  # noqa: F401  (kept for parity docs)
     from .cals import cp_cals as _cals
     from ..config import CalsParams
 

@@ -57,20 +57,22 @@ def _store(modes, table: dict) -> None:
 def heuristic_methods(modes, rank: int = 0, batch: int = 0) -> tuple[str, ...]:
     """Default when no LUT entry exists (analog of mttkrp.cpp:588-606).
 
-    Both packed forms do the same MXU flops; they differ in the intermediate
-    they materialize: KRP-GEMM writes a [prod(others), B*R] Khatri-Rao
-    product, twostep a [I_n * I_small, B*R] TTM result. Pick whichever
-    intermediate is smaller per mode — i.e. twostep exactly when the target
-    mode is smaller than the largest non-target mode.
+    TWOSTEP for every mode of a 3-D tensor. Measured on hardware (v5e,
+    scripts/profile_iteration.py, EEM shape 299x301x41 at B*R=1920): the
+    twostep TTM+TTV runs at 67-78 TF/s on ALL modes — within ~0.8x of a
+    pure matmul of the same shape — while KRP-GEMM reaches only 2-13 TF/s,
+    because materializing the [prod(others), B*R] Khatri-Rao product is a
+    VPU-bound broadcast-multiply write that dwarfs the matmul it feeds.
+    The reference's CPU heuristic also defaults to its TWOSTEP variants
+    when threaded (mttkrp.cpp:588-606). The B*R-dependent crossovers live
+    in the measured LUT (autotune), which overrides this default.
+
+    N-D (!=3) tensors use the KRP form (the reference's N-D path is also
+    KRP-only, mttkrp.cpp:567-568; twostep is 3-D-only here too).
     """
     if len(modes) != 3:
         return tuple("krp_gemm" for _ in modes)
-    out = []
-    for n in range(3):
-        others = [m for m in range(3) if m != n]
-        big = max(modes[m] for m in others)
-        out.append("twostep" if modes[n] < big else "krp_gemm")
-    return tuple(out)
+    return ("twostep", "twostep", "twostep")
 
 
 def lookup_methods(modes, rank: int, batch: int) -> tuple[str, ...]:
@@ -87,7 +89,9 @@ def lookup_methods(modes, rank: int, batch: int) -> tuple[str, ...]:
 
 
 def autotune(modes, rank: int, batch: int, dtype=jnp.float32, reps: int = 3,
-             precision: str = "highest") -> tuple[str, ...]:
+             precision: str = "high") -> tuple[str, ...]:
+    # precision defaults to "high" — the engine's production matmul
+    # precision — so LUT winners are measured on the path they steer.
     """Benchmark every method per mode (min-of-reps, like the reference's
     bench_mttkrp.h min-of-3) and persist the winners."""
     from ..config import resolve_precision
@@ -115,7 +119,13 @@ def autotune(modes, rank: int, batch: int, dtype=jnp.float32, reps: int = 3,
             if resolve_batched_method(method, len(modes), mode) != method:
                 continue
 
-            def run_fn(x, f, method=method, mode=mode):
+            # Chain through a factor the MTTKRP actually READS (the first
+            # non-target mode): feeding the output back into the TARGET
+            # factor leaves the kernel loop-invariant and XLA hoists it out
+            # of the loop, timing one kernel + n_loop trivial adds.
+            other = [m for m in range(len(modes)) if m != mode][0]
+
+            def run_fn(x, f, method=method, mode=mode, other=other):
                 prepared = prepare_batched(
                     x, tuple(method for _ in modes)
                 )
@@ -124,20 +134,28 @@ def autotune(modes, rank: int, batch: int, dtype=jnp.float32, reps: int = 3,
                     g = mttkrp_batched(
                         x, f, mode, method, prec, prepared[mode]
                     )
-                    # chain: feed the output back through the target factor
-                    return f[:mode] + (g * 1e-20 + f[mode],) + f[mode + 1 :]
+                    # Reduce over the FULL output; a slice would let XLA
+                    # narrow the kernel to one row and time nothing.
+                    fo = f[other] + jnp.sum(
+                        g, axis=-2, keepdims=True
+                    ) * 1e-20
+                    return f[:other] + (fo,) + f[other + 1 :]
 
-                return jax.lax.fori_loop(0, n_loop, body, f)
+                out = jax.lax.fori_loop(0, n_loop, body, f)
+                # Return a device-side SCALAR: fetching any array would pay
+                # the device->host link and swamp the kernel time on
+                # remote-attached backends.
+                return jnp.sum(out[other][..., 0, :]) * 1e-20
 
             fn = jax.jit(run_fn)
             try:
                 out = fn(x, factors)
-                float(_np.asarray(out[mode]).ravel()[0])  # sync (compile)
+                float(_np.asarray(out))  # sync (compile)
                 ts = []
                 for _ in range(reps):
                     t0 = time.perf_counter()
                     out = fn(x, factors)
-                    float(_np.asarray(out[mode]).ravel()[0])
+                    float(_np.asarray(out))
                     ts.append((time.perf_counter() - t0) / n_loop)
                 t = min(ts)
             except Exception:

@@ -45,6 +45,7 @@ class IterationRecord:
     active_columns: int
     flops: int
     wall_s: float
+    bucket: int = 0  # bucket rank the record belongs to (threaded traces)
 
 
 @dataclass
@@ -60,11 +61,11 @@ class RunTrace:
     def write_csv(self, path: str) -> None:
         with open(path, "w", newline="") as f:
             w = csv.writer(f, delimiter=";")
-            w.writerow(["ITER", "MODELS", "COLS", "FLOPS", "TIME"])
+            w.writerow(["ITER", "MODELS", "COLS", "FLOPS", "TIME", "BUCKET"])
             for r in self.records:
                 w.writerow(
                     [r.iteration, r.active_models, r.active_columns, r.flops,
-                     f"{r.wall_s:.9f}"]
+                     f"{r.wall_s:.9f}", r.bucket]
                 )
 
     @property

@@ -227,3 +227,30 @@ def test_checkpoint_resume(tmp_path):
     for ma, mb in zip(rep_w.models, rep_g.models):
         assert (ma.id, ma.rank, ma.iters) == (mb.id, mb.rank, mb.iters)
         np.testing.assert_allclose(ma.approx_error, mb.approx_error, atol=TOL)
+
+
+def test_trace_in_evict_threaded_config():
+    """Per-iteration trace must work in the PRODUCTION configuration
+    (sync_mode='evict' + threaded buckets): counters are recorded
+    device-side inside the run-until-evict loop."""
+    from cp_cals_tpu.utils.timers import RunTrace
+
+    x, kts = make_problem(10, n_models=8, ranks=(2, 3))
+    params = CalsParams(
+        tol=1e-9, buffer_size=16, bucket_ranks=(2, 4),
+        sync_mode="evict", bucket_threads=4,
+    )
+    trace = RunTrace()
+    results, rep = cp_cals(x, kts, params, trace=trace)
+    assert trace.records, "trace must be populated in evict/threaded mode"
+    assert len(trace.records) == sum(rep.engine_iterations.values())
+    assert all(r.active_models >= 1 for r in trace.records)
+    assert all(r.active_columns >= r.active_models for r in trace.records)
+    assert {r.bucket for r in trace.records} == {2, 4}
+    assert trace.phase_totals["solve"] > 0
+    # Tracing must not perturb trajectories.
+    for kt0, kt_cals in zip(kts, results):
+        kt_als, _ = cp_als(x, kt0, AlsParams(tol=1e-9))
+        np.testing.assert_allclose(
+            to_tensor(kt_cals), to_tensor(kt_als), atol=TOL
+        )

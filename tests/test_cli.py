@@ -50,3 +50,17 @@ def test_compare_als_cals_harness(tmp_path):
     assert res["n_models"] == 4
     assert res["n_mismatched"] == 0
     assert os.path.exists(tmp_path / "cals_run.csv")
+
+
+def test_defrag_experiment_quick(tmp_path):
+    from cp_cals_tpu.experiments import defrag_experiment
+
+    out = defrag_experiment(
+        modes=(12, 10, 8), rank_max=3, copies=2, max_iter=4,
+        out_dir=str(tmp_path),
+    )
+    assert out["defrag"]["mean_iters"] <= 4
+    # Random tensor at tol 1e-6 doesn't converge in 4 iters: all hit max.
+    assert out["default"]["mean_iters"] == 4
+    assert (tmp_path / "defrag_defrag.csv").exists()
+    assert (tmp_path / "defrag_default.csv").exists()

@@ -134,3 +134,53 @@ def test_hadamard_but_one():
     gr = gramians(kt.factors)
     want = gr[0] * gr[2]
     np.testing.assert_allclose(hadamard_but_one(gr, 1), want, atol=1e-14)
+
+
+def test_fast_error_compensated_f32():
+    """The double-float fp32 error reduction survives the catastrophic
+    cancellation (|X|^2 + term2 - 2*term3 with result ~1e-6*|X|^2): it must
+    match an fp64 evaluation of the SAME f32 inputs to several digits,
+    where the naive f32 formula has no digits left (SURVEY §7 hard part,
+    reference error.cpp:64-89 is all-double)."""
+    from cp_cals_tpu.ops.error import _fast_error_compensated
+    from cp_cals_tpu.ops.mttkrp import mttkrp
+
+    key = jax.random.PRNGKey(31)
+    kx, kn = jax.random.split(key)
+    kt = random_ktensor(kx, (30, 25, 20), 5)
+    x = to_tensor(kt)
+    # err/|X| ~ 3e-4 -> err^2/|X|^2 ~ 1e-7: needs ~12 good digits.
+    x = x + 3e-4 * jnp.std(x) * jax.random.normal(kn, x.shape, x.dtype)
+
+    g_last = mttkrp(x, kt.factors, 2)
+    gh = hadamard_all(gramians(kt.factors))
+    x_norm = jnp.linalg.norm(x.ravel())
+
+    # Cast ALL inputs to f32 (what the TPU path sees).
+    f32 = lambda a: jnp.asarray(np.asarray(a, np.float32))
+    got = _fast_error_compensated(
+        f32(x_norm), f32(kt.lam), f32(kt.factors[2]), f32(g_last), f32(gh)
+    )
+
+    # fp64 oracle on the identical f32 inputs.
+    lam64 = np.asarray(f32(kt.lam), np.float64)
+    u64 = np.asarray(f32(kt.factors[2]), np.float64)
+    g64 = np.asarray(f32(g_last), np.float64)
+    h64 = np.asarray(f32(gh), np.float64)
+    xn64 = np.float64(np.float32(x_norm))
+    term2 = lam64 @ h64 @ lam64
+    term3 = np.einsum("j,ij,ij->", lam64, u64, g64)
+    want = np.sqrt(max(xn64 * xn64 + term2 - 2.0 * term3, 0.0))
+
+    assert xn64**2 / want**2 > 1e5  # the cancellation is genuinely severe
+    np.testing.assert_allclose(float(got), want, rtol=1e-4)
+
+    # Batched shapes take the same path.
+    got_b = _fast_error_compensated(
+        jnp.stack([f32(x_norm)] * 2),
+        jnp.stack([f32(kt.lam)] * 2),
+        jnp.stack([f32(kt.factors[2])] * 2),
+        jnp.stack([f32(g_last)] * 2),
+        jnp.stack([f32(gh)] * 2),
+    )
+    np.testing.assert_allclose(np.asarray(got_b), [want, want], rtol=1e-4)
