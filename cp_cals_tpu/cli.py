@@ -37,6 +37,11 @@ def parse_args(argv=None):
     p.add_argument("--buffer-size", type=int, default=4200)
     p.add_argument("--line-search", action="store_true")
     p.add_argument("--nnls", action="store_true")
+    p.add_argument("--bucket-threads", type=int, default=4,
+                   help="host threads pipelining bucket loops (the analog "
+                        "of the reference driver's -n thread knob)")
+    p.add_argument("--bucket-ranks", default=None,
+                   help="comma list of bucket rank classes, e.g. 4,8,16")
     p.add_argument("--compare-als", action="store_true",
                    help="also run batched ALS and report speedup")
     p.add_argument("--jk", action="store_true",
@@ -114,12 +119,19 @@ def main(argv=None):
     ]
 
     update = UpdateMethod.NNLS if args.nnls else UpdateMethod.UNCONSTRAINED
+    extra = {}
+    if args.bucket_ranks:
+        extra["bucket_ranks"] = tuple(
+            int(r) for r in args.bucket_ranks.split(",")
+        )
     cals_params = CalsParams(
         tol=args.tol,
         max_iterations=args.max_iterations,
         buffer_size=args.buffer_size,
         line_search=args.line_search,
         update_method=update,
+        bucket_threads=args.bucket_threads,
+        **extra,
     )
     print(f"Tensor {modes}, {len(queue)} models, ranks {rmin}..{rmax}")
     print(f"Device: {jax.devices()[0]}")

@@ -230,6 +230,9 @@ def main(argv=None):
     p.add_argument("--defrag", action="store_true",
                    help="also run the defrag/letter study "
                         "(experiments_letter.cpp)")
+    p.add_argument("--nnls", action="store_true",
+                   help="also run the non-negative (NNLS) comparison "
+                        "(reference paper 6.3 uses constrained updates)")
     args = p.parse_args(argv)
 
     from .config import AlsParams, CalsParams
@@ -259,6 +262,44 @@ def main(argv=None):
             x, queue, cals_p, als_p, out_dir=args.out, tag=tag
         )
         print(tag, results[tag], flush=True)
+
+    if args.nnls:
+        from .config import UpdateMethod
+        from .ktensor import random_ktensor, to_tensor
+        import numpy as _np
+
+        # Non-negative target (reference fits fluorescence data, which is
+        # non-negative; synthetic equivalent: |low-rank| + noise).
+        nn_modes = (30, 30, 30) if args.quick else (100, 100, 100)
+        key = jax.random.PRNGKey(1)
+        kt_true = jax.tree.map(
+            jnp.abs, random_ktensor(key, nn_modes, 5, dtype=jnp.float32)
+        )
+        x_nn = to_tensor(kt_true)
+        rng = _np.random.default_rng(1)
+        from .ktensor import random_ktensor_host
+
+        queue_nn = [
+            random_ktensor_host(rng, nn_modes, r, dtype=jnp.float32)
+            for r in range(1, (3 if args.quick else 10) + 1)
+            for _ in range(2 if args.quick else 10)
+        ]
+        nn_cals = CalsParams(
+            max_iterations=5 if args.quick else 50,
+            force_max_iter=True,
+            update_method=UpdateMethod.NNLS,
+            bucket_ranks=(4, 8, 12),
+            precision="high",
+        )
+        nn_als = AlsParams(
+            max_iterations=nn_cals.max_iterations,
+            force_max_iter=True,
+            update_method=UpdateMethod.NNLS,
+        )
+        results["nnls"] = compare_als_cals(
+            x_nn, queue_nn, nn_cals, nn_als, out_dir=args.out, tag="nnls"
+        )
+        print("nnls", results["nnls"], flush=True)
 
     if args.jk:
         jk_modes = (20, 30, 30) if args.quick else (50, 100, 100)

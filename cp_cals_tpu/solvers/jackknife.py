@@ -112,9 +112,22 @@ def jk_cp_cals(
     x: Array,
     fitted: list[Ktensor],
     params: CalsParams = CalsParams(),
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    mesh=None,
+    shard_mode0: bool = False,
 ) -> JKReport:
     """Jackknife every fitted model via ONE concurrent CALS run on the full
-    tensor (reference cals.cpp:397-446)."""
+    tensor (reference cals.cpp:397-446).
+
+    checkpoint_dir/resume: snapshot and resume the underlying concurrent
+    run (hundreds of replicates make this the flagship long-running job;
+    see cp_cals). The replicate queue is deterministic from ``fitted``, so
+    a resumed call with the same inputs continues exactly.
+
+    mesh/shard_mode0: shard the replicate batch (dp) and optionally tensor
+    mode 0 (tp) over a device mesh — jackknife is pure data parallelism
+    over replicates, the scaling axis of SURVEY §5.8."""
     import time
 
     from ..ktensor import to_host
@@ -134,7 +147,11 @@ def jk_cp_cals(
             fibers.append(fiber)
     t1 = time.perf_counter()
 
-    results, cals_rep = cp_cals(x, queue, params, jk_fibers=fibers)
+    results, cals_rep = cp_cals(
+        x, queue, params, jk_fibers=fibers,
+        checkpoint_dir=checkpoint_dir, resume=resume,
+        mesh=mesh, shard_mode0=shard_mode0,
+    )
     t2 = time.perf_counter()
 
     report = JKReport(

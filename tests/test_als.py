@@ -169,3 +169,37 @@ def test_monotonicity_debug_warning():
     MONOTONICITY_VIOLATIONS.clear()
     cp_als(x, kt0, AlsParams(debug=True, tol=1e-9))
     assert not MONOTONICITY_VIOLATIONS
+
+
+def test_external_numpy_oracle_cross_validation():
+    """Cross-validate against a fully INDEPENDENT textbook NumPy CP-ALS
+    (no shared code, explicit unfold/KRP, pinv solves) — the analog of the
+    reference's TensorToolbox comparison (matlab_src/TTB_vs_CALS.m).
+    Matched inits + matched iteration counts must give matching
+    reconstructions and matching per-mode-normalized trajectories."""
+    from external_cp_als import cp_als_numpy, reconstruct
+
+    key = jax.random.PRNGKey(33)
+    kx, k0 = jax.random.split(key)
+    x = rank_r_tensor(kx, (9, 8, 7), 3, noise=1e-3)
+    kt0 = random_ktensor(k0, (9, 8, 7), 4)
+    n_iter = 12
+
+    kt_fit, rep = cp_als(
+        x, kt0, AlsParams(max_iterations=n_iter, force_max_iter=True)
+    )
+
+    f_np, lam_np = cp_als_numpy(
+        np.asarray(x),
+        [np.asarray(f) for f in kt0.factors],
+        np.asarray(kt0.lam),
+        n_iter,
+    )
+    want = reconstruct(f_np, lam_np)
+    np.testing.assert_allclose(
+        np.asarray(to_tensor(kt_fit)), want, atol=1e-9
+    )
+    # Factor trajectories match elementwise too (same normalization
+    # schedule), not just the product.
+    for f_j, f_n in zip(kt_fit.factors, f_np):
+        np.testing.assert_allclose(np.asarray(f_j), f_n, atol=1e-8)

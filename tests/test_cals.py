@@ -254,3 +254,23 @@ def test_trace_in_evict_threaded_config():
         np.testing.assert_allclose(
             to_tensor(kt_cals), to_tensor(kt_als), atol=TOL
         )
+
+
+def test_cals_5d_equals_als():
+    """N-D generality of the whole engine (the reference supports N-D via
+    mttkrp_impl, mttkrp.cpp:567): 5-D tensor through bucketing, eviction,
+    and the KRP path."""
+    key = jax.random.PRNGKey(17)
+    kx, kk, kn = jax.random.split(key, 3)
+    modes5 = (5, 4, 3, 3, 2)
+    x = to_tensor(random_ktensor(kx, modes5, 2))
+    x = x + 1e-3 * jax.random.normal(kn, x.shape, x.dtype)
+    kts = [random_ktensor(k, modes5, 2) for k in jax.random.split(kk, 5)]
+    params = CalsParams(tol=1e-9, buffer_size=4, bucket_ranks=(2,))
+    results, rep = cp_cals(x, kts, params)
+    for kt0, kt_cals, mrep in zip(kts, results, rep.models):
+        kt_als, rep_als = cp_als(x, kt0, AlsParams(tol=1e-9))
+        assert rep_als.iters == mrep.iters
+        np.testing.assert_allclose(
+            to_tensor(kt_cals), to_tensor(kt_als), atol=TOL
+        )

@@ -247,3 +247,49 @@ def test_write_cals_report_csv(tmp_path):
     write_cals_report_csv(p, rep, CalsParams(tol=1e-5))
     text = open(p).read()
     assert "# tol=1e-05" in text and "KTENSOR_ID;RANK;ERROR;FIT;ITERS" in text
+
+
+def test_jk_checkpoint_resume(tmp_path):
+    """Checkpoint/resume through the jackknife driver: a checkpointed run
+    matches the plain run; resuming from the completed archive reproduces
+    it without refitting; and an INTERRUPTED jk-fibered engine run resumes
+    exactly (leave-one-out norms and fibers restored from the snapshot)."""
+    key = jax.random.PRNGKey(23)
+    kx, k0, kn = jax.random.split(key, 3)
+    x = to_tensor(random_ktensor(kx, MODES, 2))
+    x = x + 1e-3 * jax.random.normal(kn, x.shape, x.dtype)
+    kt_fit, _ = cp_als(x, random_ktensor(k0, MODES, 2),
+                       AlsParams(tol=1e-10, max_iterations=300))
+    params = CalsParams(max_iterations=12, force_max_iter=True,
+                        bucket_ranks=(2,), buffer_size=4)
+
+    a = jk_cp_cals(x, [kt_fit], params)
+    b = jk_cp_cals(x, [kt_fit], params, checkpoint_dir=str(tmp_path))
+    c = jk_cp_cals(x, [kt_fit], params, checkpoint_dir=str(tmp_path),
+                   resume=True)
+    for ra, rb, rc in zip(a.results[0], b.results[0], c.results[0]):
+        for fa, fb, fc in zip(ra.factors, rb.factors, rc.factors):
+            fa, fb, fc = map(np.asarray, (fa, fb, fc))
+            mask = np.isfinite(fa)
+            np.testing.assert_allclose(fa[mask], fb[mask], atol=1e-11)
+            np.testing.assert_allclose(fa[mask], fc[mask], atol=1e-11)
+
+    # Interrupted jk-fibered engine run, resumed (cp_cals level).
+    from cp_cals_tpu.solvers.jackknife import generate_jk_ktensors
+    from cp_cals_tpu.ktensor import to_host, denormalize, normalize_full
+
+    base = to_host(normalize_full(denormalize(kt_fit)))
+    reps = generate_jk_ktensors(base)
+    queue = [k for k, _ in reps]
+    fibers = [f for _, f in reps]
+    d2 = tmp_path / "interrupt"
+    want, _ = cp_cals(x, queue, params, jk_fibers=fibers)
+    part, _ = cp_cals(x, queue, params, jk_fibers=fibers,
+                      checkpoint_dir=str(d2), max_rounds_per_bucket=1)
+    assert any(k is None for k in part)
+    got, _ = cp_cals(x, queue, params, jk_fibers=fibers,
+                     checkpoint_dir=str(d2), resume=True)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(
+            np.asarray(to_tensor(w)), np.asarray(to_tensor(g)), atol=1e-11
+        )

@@ -61,3 +61,30 @@ def test_cp_cals_sharded_eviction_refill():
         np.testing.assert_allclose(
             np.asarray(to_tensor(a)), np.asarray(to_tensor(b)), atol=1e-11
         )
+
+
+def test_jk_cp_cals_sharded_matches_single():
+    """The flagship scale case: hundreds of leave-one-out replicates
+    sharded over dp — must equal the single-device jackknife exactly."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from cp_cals_tpu import AlsParams
+    from cp_cals_tpu.solvers import cp_als, jk_cp_cals
+
+    key = jax.random.PRNGKey(9)
+    kx, k0, kn = jax.random.split(key, 3)
+    x = to_tensor(random_ktensor(kx, (8, 7, 6), 2))
+    x = x + 1e-3 * jax.random.normal(kn, x.shape, x.dtype)
+    kt_fit, _ = cp_als(x, random_ktensor(k0, (8, 7, 6), 2),
+                       AlsParams(tol=1e-10, max_iterations=300))
+    params = CalsParams(max_iterations=10, force_max_iter=True,
+                        bucket_ranks=(2,))
+    a = jk_cp_cals(x, [kt_fit], params)
+    mesh = make_mesh(n_dp=4, n_tp=1)
+    b = jk_cp_cals(x, [kt_fit], params, mesh=mesh)
+    for ka, kb in zip(a.results[0], b.results[0]):
+        for fa, fb in zip(ka.factors, kb.factors):
+            fa, fb = np.asarray(fa), np.asarray(fb)
+            mask = np.isfinite(fa)
+            assert (mask == np.isfinite(fb)).all()
+            np.testing.assert_allclose(fa[mask], fb[mask], atol=1e-11)
