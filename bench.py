@@ -80,6 +80,7 @@ def main():
         tol=1e-6,
         max_iterations=10 if SMOKE else 50,
         force_max_iter=True,
+        bucket_threads=int(os.environ.get("BENCH_THREADS", "4")),
         # The reference's buffer_size=4200 counts TRUE columns and exactly
         # holds this whole workload (sum of ranks = 20*(1+..+20) = 4200).
         # Ours is a PADDED-column budget (buckets pad rank up), so the
@@ -104,11 +105,14 @@ def main():
     warm_s = time.perf_counter() - t0
 
     wall_s = float("inf")
-    for _ in range(2):  # best-of-2: remote-device throughput is noisy
+    mat_s = 0.0
+    n_reps = 2 if SMOKE else 3
+    for _ in range(n_reps):  # best-of-N: shared-chip throughput is noisy
         t0 = time.perf_counter()
         results, rep = cp_cals(x, queue, params)
         run_s = time.perf_counter() - t0
-        wall_s = min(wall_s, run_s)
+        if run_s < wall_s:
+            wall_s, mat_s = run_s, rep.materialize_s
 
     n_models = len(queue)
     models_per_sec = n_models / wall_s
@@ -143,6 +147,7 @@ def main():
         "mean_fit": round(mean_fit, 6),
         "mean_iters": round(sum(m.iters for m in rep.models) / n_models, 1),
         "mttkrp_tflops_per_chip": round(tflops, 3),
+        "materialize_s": round(mat_s, 3),
         "useful_gflops": round(useful_flops / 1e9, 1),
         "device": str(jax.devices()[0]),
     }

@@ -227,6 +227,12 @@ def main(argv=None):
     p.add_argument("--quick", action="store_true")
     p.add_argument("--jk", action="store_true",
                    help="also run the jackknife experiment (paper §5)")
+    p.add_argument("--jk-scale", action="store_true",
+                   help="jackknife scale sweep over the paper's tensor "
+                        "sizes 50x{100,200,400}^2 (experiments_jk.cpp:34-98)")
+    p.add_argument("--no-base", action="store_true",
+                   help="skip the base ALS-vs-CALS size sweep (useful when "
+                        "running a single named experiment)")
     p.add_argument("--defrag", action="store_true",
                    help="also run the defrag/letter study "
                         "(experiments_letter.cpp)")
@@ -245,6 +251,8 @@ def main(argv=None):
 
     # Paper §6.1-style: 20 models/rank, forced 50 iterations.
     sizes = [(50, 50, 50)] if args.quick else [(100, 100, 100), (200, 200, 200)]
+    if args.no_base:
+        sizes = []
     copies = 2 if args.quick else 20
     rmax = 3 if args.quick else 20
     for modes in sizes:
@@ -295,6 +303,11 @@ def main(argv=None):
             max_iterations=nn_cals.max_iterations,
             force_max_iter=True,
             update_method=UpdateMethod.NNLS,
+            # Match the CALS matmul precision: NNLS active-set decisions are
+            # discrete, so a precision mismatch flips passive sets and sends
+            # ~10% of models to different local minima (n_mismatched != 0
+            # that says nothing about CALS correctness).
+            precision=nn_cals.precision,
         )
         results["nnls"] = compare_als_cals(
             x_nn, queue_nn, nn_cals, nn_als, out_dir=args.out, tag="nnls"
@@ -308,6 +321,19 @@ def main(argv=None):
         )
         print("jackknife", results["jackknife"], flush=True)
 
+    if args.jk_scale:
+        # Paper §5 scale sweep (experiments_jk.cpp:34-98: synthetic
+        # 50x{100,200,400}^2, ranks {3,5,7,9}, one concurrent JK run each).
+        sweep = {}
+        dims = (100,) if args.quick else (100, 200, 400)
+        for d in dims:
+            tag = f"50x{d}x{d}"
+            sweep[tag] = jackknife_experiment(
+                modes=(50, d, d), max_iter=10 if args.quick else 50
+            )
+            print("jk_scale", tag, sweep[tag], flush=True)
+        results["jackknife_scale"] = sweep
+
     if args.defrag:
         if args.quick:
             results["defrag"] = defrag_experiment(
@@ -318,8 +344,19 @@ def main(argv=None):
             results["defrag"] = defrag_experiment(out_dir=args.out)
         print("defrag", results["defrag"], flush=True)
 
-    with open(os.path.join(args.out, "experiments.json"), "w") as f:
-        json.dump(results, f, indent=1)
+    # Merge into any existing results file: partial invocations (--jk only,
+    # --nnls only, ...) must not clobber keys from earlier full runs.
+    out_path = os.path.join(args.out, "experiments.json")
+    merged = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+    merged.update(results)
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1)
     print(json.dumps(results))
 
 

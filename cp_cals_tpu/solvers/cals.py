@@ -65,6 +65,9 @@ class CalsReport:
     # "evict":…, "refill":…}} — the analog of the reference's AlsTimers
     # (include/timer.h:45-52) at host-observable granularity.
     phase_times: dict = field(default_factory=dict)
+    # Wall spent materializing deferred result transfers after all buckets
+    # finish (device->host result bandwidth that async copies didn't hide).
+    materialize_s: float = 0.0
 
 
 @lru_cache(maxsize=64)
@@ -426,10 +429,15 @@ def cp_cals(
     use_blocks = params.sync_mode == "evict" and not params.always_evict_first
 
     results: dict[int, Ktensor] = {}
-    # Deferred result materialization: device gathers whose host copies were
-    # started asynchronously, finalized after all buckets complete so the
-    # transfers overlap with later buckets' compute.
+    # Deferred result materialization: device gathers are handed to a small
+    # host thread pool that pulls them to host WHILE later blocks compute
+    # (device->host result bandwidth is the #1 non-compute wall cost here;
+    # copy_to_host_async alone does not reliably overlap on remote-attached
+    # backends). Futures are collected after all buckets complete.
     pending: list = []
+    import concurrent.futures as _cf
+
+    mat_pool = _cf.ThreadPoolExecutor(2)
 
     def run_bucket(r, dq, b):
         """One bucket's full solve at its budget-allocated batch size ``b``.
@@ -714,7 +722,12 @@ def cp_cals(
                         pass
                 block_models = []
                 if checkpoint_dir is None:
-                    local_pending.append((kt_ev, block_models))
+                    local_pending.append((
+                        mat_pool.submit(
+                            lambda kt=kt_ev: jax.tree.map(np.asarray, kt)
+                        ),
+                        block_models,
+                    ))
                 else:
                     # Checkpointed runs materialize results now so the done
                     # archive on disk is complete after every round.
@@ -811,13 +824,18 @@ def cp_cals(
                 else max((m.iters for m in local_models), default=0)
             )
 
-    for kt_ev, block_models in pending:
-        kt_np = jax.tree.map(np.asarray, kt_ev)
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    for fut, block_models in pending:
+        kt_np = fut.result()
         for pos, i, rank in block_models:
             results[i] = Ktensor(
                 tuple(f[pos, :, :rank] for f in kt_np.factors),
                 kt_np.lam[pos, :rank],
             )
+    mat_pool.shutdown()
+    report.materialize_s = _time.perf_counter() - _t0
 
     report.models.sort(key=lambda m: m.id)
     # Unfinished models (max_rounds_per_bucket interrupted runs) are None.
