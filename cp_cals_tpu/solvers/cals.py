@@ -87,6 +87,27 @@ def _jitted_programs(
     return jax.jit(iteration), jax.jit(make_run_until_evict(iteration, cap))
 
 
+@lru_cache(maxsize=64)
+def _packed_unpack(shapes: tuple, dtype_str: str):
+    """Jitted splitter for single-transfer intake: the host concatenates all
+    of a block's factor stacks + lambdas into ONE flat array (one upload call
+    instead of N — each host->device call pays ~60 ms fixed cost on tunneled
+    backends) and this program slices/reshapes it back on device."""
+    sizes = [int(np.prod(s)) for s in shapes]
+    offs = np.cumsum([0] + sizes)
+
+    @jax.jit
+    def unpack(flat):
+        return tuple(
+            jax.lax.slice(flat, (int(offs[i]),), (int(offs[i + 1]),)).reshape(
+                shapes[i]
+            )
+            for i in range(len(shapes))
+        )
+
+    return unpack
+
+
 def bucket_rank(rank: int, bucket_ranks: Sequence[int]) -> int:
     """Smallest configured bucket that fits ``rank``; next power of two above
     the largest configured bucket otherwise."""
@@ -437,7 +458,9 @@ def cp_cals(
     pending: list = []
     import concurrent.futures as _cf
 
-    mat_pool = _cf.ThreadPoolExecutor(2)
+    # 4 streams: measured on the tunneled backend, device->host bandwidth
+    # aggregates ~21 -> ~55 MB/s from 1 to 4 parallel fetches and saturates.
+    mat_pool = _cf.ThreadPoolExecutor(4)
 
     def run_bucket(r, dq, b):
         """One bucket's full solve at its budget-allocated batch size ``b``.
@@ -599,9 +622,12 @@ def cp_cals(
                 for f_dst, f_src in zip(stacked, kt.factors):
                     f_dst[slot, :, :rk] = np.asarray(f_src)
                 lam_stack[slot, :rk] = np.asarray(kt.lam)
-            kt_b = Ktensor(
-                tuple(jnp.asarray(a) for a in stacked), jnp.asarray(lam_stack)
-            )
+            parts = stacked + [lam_stack]
+            flat = np.concatenate([p.reshape(-1) for p in parts])
+            dev = _packed_unpack(
+                tuple(tuple(p.shape) for p in parts), str(np_dtype)
+            )(jnp.asarray(flat))
+            kt_b = Ktensor(tuple(dev[:-1]), dev[-1])
             rank_mask = np.zeros((b, r), bool)
             jk_arr = np.full((b,), -1, np.int32)
             xnm = np.full((b,), float(x_norm), dtype)
@@ -722,10 +748,13 @@ def cp_cals(
                         pass
                 block_models = []
                 if checkpoint_dir is None:
+                    # One future PER LEAF (factor/lam): parallel fetch streams
+                    # aggregate bandwidth on remote-attached backends, and a
+                    # whole-pytree future would serialize the 4 copies.
+                    leaves, treedef = jax.tree.flatten(kt_ev)
                     local_pending.append((
-                        mat_pool.submit(
-                            lambda kt=kt_ev: jax.tree.map(np.asarray, kt)
-                        ),
+                        [mat_pool.submit(np.asarray, l) for l in leaves],
+                        treedef,
                         block_models,
                     ))
                 else:
@@ -827,8 +856,8 @@ def cp_cals(
     import time as _time
 
     _t0 = _time.perf_counter()
-    for fut, block_models in pending:
-        kt_np = fut.result()
+    for futs, treedef, block_models in pending:
+        kt_np = jax.tree.unflatten(treedef, [f.result() for f in futs])
         for pos, i, rank in block_models:
             results[i] = Ktensor(
                 tuple(f[pos, :, :rank] for f in kt_np.factors),
