@@ -57,10 +57,16 @@ def build_workload(dtype):
     x_np = np.einsum("ir,jr,kr,r->ijk", *kt.factors, kt.lam)
     x_np = x_np + 0.05 * x_np.std() * rng.standard_normal(x_np.shape)
     x = jax.device_put(jnp.asarray(x_np, dtype))
+    # Device-generated random initial guesses (RandomKtensorSpec): nothing
+    # but 4-byte seeds cross the host->device link at intake — the TPU-native
+    # analog of the reference driver building its random initial models on
+    # the compute host (driver.cpp:115-150).
+    from cp_cals_tpu.ktensor import RandomKtensorSpec
+
     queue = [
-        random_ktensor_host(rng, modes, r, dtype=dtype)
+        RandomKtensorSpec(modes, r, seed=1000 * r + c, dtype=str(jnp.dtype(dtype)))
         for r in ranks
-        for _ in range(copies)
+        for c in range(copies)
     ]
     return x, queue, modes
 

@@ -17,10 +17,12 @@ from .config import (
 )
 from .ktensor import (
     Ktensor,
+    RandomKtensorSpec,
     denormalize,
     normalize_full,
     normalize_mode,
     random_ktensor,
+    spec_to_ktensor,
     to_tensor,
 )
 

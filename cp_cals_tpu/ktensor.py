@@ -44,6 +44,55 @@ class Ktensor(NamedTuple):
         return tuple(f.shape[-2] for f in self.factors)
 
 
+class RandomKtensorSpec(NamedTuple):
+    """A queue entry that says "random initial guess, generated ON DEVICE".
+
+    The reference driver builds its randomized initial models host-side
+    (src/examples/driver.cpp:115-150, Tensor::randomize) because its compute
+    IS the host; the TPU-native equivalent generates them on the accelerator,
+    so a model queue of specs uploads nothing but seeds. Semantics are
+    deterministic and padding-independent: column ``j`` of mode ``n`` is
+    ``uniform(fold_in(fold_in(PRNGKey(seed), n), j), (I_n,), -1, 1)``
+    followed by full normalization (see ``spec_to_ktensor``) — the same
+    model regardless of which rank bucket the engine packs it into.
+    """
+
+    modes: tuple[int, ...]
+    rank: int
+    seed: int
+    dtype: str | None = None
+
+    @property
+    def n_modes(self) -> int:
+        return len(self.modes)
+
+
+def _spec_columns(key: Array, mode_idx: int, m: int, r: int, dtype) -> Array:
+    """[m, r] uniform(-1,1) factor with one fold_in-derived key per column —
+    the per-column keying makes the values independent of the array's padded
+    width, so batched (bucket-padded) and single-model generation agree."""
+    kn = jax.random.fold_in(key, mode_idx)
+    cols = jax.vmap(
+        lambda j: jax.random.uniform(
+            jax.random.fold_in(kn, j), (m,), dtype=dtype, minval=-1.0, maxval=1.0
+        )
+    )(jnp.arange(r))
+    return cols.T
+
+
+def spec_to_ktensor(spec: RandomKtensorSpec) -> Ktensor:
+    """Materialize a ``RandomKtensorSpec`` (device-side, jittable)."""
+    from .config import default_dtype
+
+    dtype = jnp.dtype(spec.dtype) if spec.dtype else default_dtype()
+    key = jax.random.PRNGKey(spec.seed)
+    factors = tuple(
+        _spec_columns(key, n, m, spec.rank, dtype)
+        for n, m in enumerate(spec.modes)
+    )
+    return normalize_full(Ktensor(factors, jnp.ones((spec.rank,), dtype)))
+
+
 def random_ktensor_host(
     rng, modes: Sequence[int], rank: int, dtype=None
 ) -> Ktensor:

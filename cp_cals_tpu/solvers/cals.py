@@ -37,7 +37,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import CalsParams, UpdateMethod
-from ..ktensor import Ktensor, pad_rank
+from ..ktensor import (
+    Ktensor,
+    RandomKtensorSpec,
+    _spec_columns,
+    pad_rank,
+    spec_to_ktensor,
+)
 from .iteration import make_iteration
 from .state import SolverState, init_state
 
@@ -85,6 +91,58 @@ def _jitted_programs(
     # same buffers as kt; fresh slot states share zeros), and XLA rejects
     # donating one buffer twice.
     return jax.jit(iteration), jax.jit(make_run_until_evict(iteration, cap))
+
+
+@lru_cache(maxsize=64)
+def _gen_random_block(modes: tuple, r: int, dtype_str: str):
+    """Jitted batched generator for ``RandomKtensorSpec`` intake: the whole
+    block's random initial factors are born on device from a [B] seed array
+    (nothing but seeds crosses the host->device link). Per-column keying
+    (see ktensor._spec_columns) makes each slot bitwise-equal to
+    ``spec_to_ktensor`` of that model's spec, independent of bucket padding:
+    columns >= the model's true rank are zeroed BEFORE normalization, so
+    they stay inert with lam = 0 exactly like ``pad_rank``."""
+    dtype = jnp.dtype(dtype_str)
+
+    def one(seed, rmask):
+        key = jax.random.PRNGKey(seed)
+        factors = []
+        lam = jnp.ones((r,), dtype)
+        for n, m in enumerate(modes):
+            f = _spec_columns(key, n, m, r, dtype)
+            f = jnp.where(rmask[None, :], f, 0.0)
+            coeff = jnp.linalg.norm(f, axis=0)
+            safe = jnp.where(coeff != 0, coeff, 1.0)
+            factors.append(f / safe)
+            lam = lam * coeff
+        return Ktensor(tuple(factors), lam)
+
+    return jax.jit(jax.vmap(one))
+
+
+@jax.jit
+def _scatter_explicit(kt_gen: Ktensor, kt_up: Ktensor, spec_mask: Array):
+    """Overlay uploaded explicit models onto a generated block (mixed
+    explicit/spec intake)."""
+    return jax.tree.map(
+        lambda g, u: jnp.where(
+            spec_mask.reshape((-1,) + (1,) * (g.ndim - 1)), g, u
+        ),
+        kt_gen,
+        kt_up,
+    )
+
+
+def _queue_dtype(queue):
+    from ..config import default_dtype
+
+    for kt in queue:
+        if isinstance(kt, RandomKtensorSpec):
+            if kt.dtype:
+                return jnp.dtype(kt.dtype)
+        else:
+            return kt.lam.dtype
+    return default_dtype()
 
 
 @lru_cache(maxsize=64)
@@ -324,7 +382,7 @@ def precompile_buckets(
     import concurrent.futures
 
     x = jnp.asarray(x)
-    dtype = queue[0].lam.dtype
+    dtype = _queue_dtype(queue)
     sizes = _bucket_demands(queue, params)
     waves = allocate_bucket_batches(sizes, params.buffer_size)
 
@@ -414,7 +472,7 @@ def cp_cals(
         from jax.sharding import NamedSharding
 
         x = jax.device_put(x, NamedSharding(mesh, tensor_pspec(x, shard_mode0)))
-    dtype = queue[0].lam.dtype
+    dtype = _queue_dtype(queue)
     x_norm = jnp.linalg.norm(x.ravel().astype(jnp.result_type(dtype, jnp.float32)))
     x_norm = x_norm.astype(dtype)
     if jk_fibers is None:
@@ -480,7 +538,9 @@ def cp_cals(
         step, run_until_evict = _jitted_programs(params, methods, traced)
         slot_meta: list[tuple[int, int, int] | None] = [None] * b  # (id, rank, jk)
 
-        def make_slot_state(kt: Ktensor, jk: int):
+        def make_slot_state(kt, jk: int):
+            if isinstance(kt, RandomKtensorSpec):
+                kt = spec_to_ktensor(kt)
             ktp = pad_rank(kt, r)
             rank_mask = jnp.arange(r) < kt.rank
             xnm = x_norm if jk < 0 else x_norms_jk[jk].astype(dtype)
@@ -611,28 +671,53 @@ def cp_cals(
                 slot_meta[slot] = (i, kt.rank, jk)
             # Pack on host into [B, I_n, R] arrays (models whose factors are
             # device-backed are pulled once here; prefer building queues with
-            # random_ktensor_host / to_host to make this a pure host copy).
+            # random_ktensor_host / to_host to make this a pure host copy —
+            # or RandomKtensorSpec entries, which upload nothing but seeds).
             np_dtype = np.dtype(str(jnp.dtype(dtype)))
-            stacked = [
-                np.zeros((b, m, r), np_dtype) for m in x.shape
-            ]
-            lam_stack = np.zeros((b, r), np_dtype)
-            for slot, (i, kt, jk) in enumerate(batch):
-                rk = kt.rank
-                for f_dst, f_src in zip(stacked, kt.factors):
-                    f_dst[slot, :, :rk] = np.asarray(f_src)
-                lam_stack[slot, :rk] = np.asarray(kt.lam)
-            parts = stacked + [lam_stack]
-            flat = np.concatenate([p.reshape(-1) for p in parts])
-            dev = _packed_unpack(
-                tuple(tuple(p.shape) for p in parts), str(np_dtype)
-            )(jnp.asarray(flat))
-            kt_b = Ktensor(tuple(dev[:-1]), dev[-1])
+            spec_mask_h = np.zeros((b,), bool)
+            seeds = np.zeros((b,), np.uint32)
             rank_mask = np.zeros((b, r), bool)
+            for slot, (i, kt, jk) in enumerate(batch):
+                rank_mask[slot, : kt.rank] = True
+                if isinstance(kt, RandomKtensorSpec):
+                    spec_mask_h[slot] = True
+                    seeds[slot] = np.uint32(kt.seed)
+            have_exp = any(
+                not isinstance(kt, RandomKtensorSpec) for _, kt, _ in batch
+            )
+            kt_b = None
+            if have_exp:
+                stacked = [
+                    np.zeros((b, m, r), np_dtype) for m in x.shape
+                ]
+                lam_stack = np.zeros((b, r), np_dtype)
+                for slot, (i, kt, jk) in enumerate(batch):
+                    if isinstance(kt, RandomKtensorSpec):
+                        continue
+                    rk = kt.rank
+                    for f_dst, f_src in zip(stacked, kt.factors):
+                        f_dst[slot, :, :rk] = np.asarray(f_src)
+                    lam_stack[slot, :rk] = np.asarray(kt.lam)
+                parts = stacked + [lam_stack]
+                flat = np.concatenate([p.reshape(-1) for p in parts])
+                dev = _packed_unpack(
+                    tuple(tuple(p.shape) for p in parts), str(np_dtype)
+                )(jnp.asarray(flat))
+                kt_b = Ktensor(tuple(dev[:-1]), dev[-1])
+            if spec_mask_h.any():
+                kt_gen = _gen_random_block(x.shape, r, str(np_dtype))(
+                    jnp.asarray(seeds), jnp.asarray(rank_mask)
+                )
+                kt_b = (
+                    kt_gen
+                    if kt_b is None
+                    else _scatter_explicit(
+                        kt_gen, kt_b, jnp.asarray(spec_mask_h)
+                    )
+                )
             jk_arr = np.full((b,), -1, np.int32)
             xnm = np.full((b,), float(x_norm), dtype)
             for slot, (i, kt, jk) in enumerate(batch):
-                rank_mask[slot, : kt.rank] = True
                 jk_arr[slot] = jk
                 if jk >= 0:
                     xnm[slot] = float(x_norms_jk[jk])

@@ -274,3 +274,42 @@ def test_cals_5d_equals_als():
         np.testing.assert_allclose(
             to_tensor(kt_cals), to_tensor(kt_als), atol=TOL
         )
+
+
+def test_random_spec_queue_equals_materialized():
+    """RandomKtensorSpec intake (device-generated initial guesses) must be
+    bitwise-consistent: a spec queue's results equal the results of the same
+    queue materialized via spec_to_ktensor up front, regardless of bucket
+    padding and of spec/explicit mixing in one block."""
+    from cp_cals_tpu.ktensor import RandomKtensorSpec, spec_to_ktensor
+
+    key = jax.random.PRNGKey(23)
+    kx, kn = jax.random.split(key)
+    x = to_tensor(random_ktensor(kx, MODES, 3))
+    x = x + 1e-3 * jax.random.normal(kn, x.shape, x.dtype)
+    specs = [
+        RandomKtensorSpec(MODES, rank, seed=100 + i)
+        for i, rank in enumerate((1, 2, 3, 4, 5, 6))
+    ]
+    params = CalsParams(tol=1e-9, buffer_size=24, bucket_ranks=(2, 4, 8))
+    res_spec, rep_spec = cp_cals(x, specs, params)
+    mats = [spec_to_ktensor(s) for s in specs]
+    res_mat, rep_mat = cp_cals(x, mats, params)
+    for a, b, ma, mb in zip(res_spec, res_mat, rep_spec.models, rep_mat.models):
+        assert ma.iters == mb.iters
+        for fa, fb in zip(a.factors, b.factors):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    # Mixed spec/explicit block: first half specs, second half explicit.
+    mixed = specs[:3] + mats[3:]
+    res_mix, _ = cp_cals(x, mixed, params)
+    for a, b in zip(res_mix, res_mat):
+        np.testing.assert_array_equal(
+            np.asarray(a.factors[0]), np.asarray(b.factors[0])
+        )
+    # Eviction + refill path (buffer smaller than queue) with specs.
+    small = CalsParams(tol=1e-9, buffer_size=8, bucket_ranks=(2, 4, 8))
+    res_small, _ = cp_cals(x, specs, small)
+    for a, b in zip(res_small, res_mat):
+        np.testing.assert_allclose(
+            to_tensor(a), to_tensor(b), atol=TOL
+        )
