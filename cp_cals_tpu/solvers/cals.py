@@ -146,20 +146,30 @@ def _queue_dtype(queue):
 
 
 @lru_cache(maxsize=64)
-def _packed_unpack(shapes: tuple, dtype_str: str):
-    """Jitted splitter for single-transfer intake: the host concatenates all
-    of a block's factor stacks + lambdas into ONE flat array (one upload call
-    instead of N — each host->device call pays ~60 ms fixed cost on tunneled
-    backends) and this program slices/reshapes it back on device."""
+def _packed_intake(shapes: tuple, b: int, dtype_str: str):
+    """Jitted splitter+tiler for single-transfer intake: the host
+    concatenates the block's UNIQUE models' factor stacks + lambdas + a
+    bitcast slot->unique index map into ONE flat array (one upload call
+    instead of N — each host->device call pays ~60 ms fixed cost on
+    tunneled backends) and this program slices/reshapes/gathers it back
+    into [B, ...] block arrays on device. Deduplication matters for
+    jackknife intake, where every replicate of a model shares the same
+    factors (reference utils.cpp:40-51): B replicates upload ONE copy.
+    """
+    dtype = jnp.dtype(dtype_str)
+    int_t = {2: jnp.int16, 4: jnp.int32, 8: jnp.int64}[dtype.itemsize]
     sizes = [int(np.prod(s)) for s in shapes]
     offs = np.cumsum([0] + sizes)
+    total = int(offs[-1])
 
     @jax.jit
     def unpack(flat):
+        idx = jax.lax.bitcast_convert_type(
+            jax.lax.slice(flat, (total,), (total + b,)), int_t
+        ).astype(jnp.int32)
         return tuple(
-            jax.lax.slice(flat, (int(offs[i]),), (int(offs[i + 1]),)).reshape(
-                shapes[i]
-            )
+            jax.lax.slice(flat, (int(offs[i]),), (int(offs[i + 1]),))
+            .reshape(shapes[i])[idx]
             for i in range(len(shapes))
         )
 
@@ -481,6 +491,12 @@ def cp_cals(
         from .jackknife import jackknife_norms
 
         x_norms_jk = jackknife_norms(x)
+    if x_norms_jk is not None:
+        # One bulk fetch: the intake reads one scalar per jackknife slot,
+        # and indexing a device array per slot costs a ~30-60 ms round trip
+        # EACH on tunneled backends (measured: 299 replicates spent 18 s of
+        # "setup" on exactly this).
+        x_norms_jk = np.asarray(x_norms_jk)
 
     nnls = params.update_method == UpdateMethod.NNLS
     report = CalsReport()
@@ -687,21 +703,38 @@ def cp_cals(
             )
             kt_b = None
             if have_exp:
-                stacked = [
-                    np.zeros((b, m, r), np_dtype) for m in x.shape
-                ]
-                lam_stack = np.zeros((b, r), np_dtype)
+                # Dedup by object identity: jackknife queues repeat one
+                # fitted model per fiber, so only unique models upload.
+                uniq: dict[int, int] = {}
+                uniq_models: list = []
+                uidx = np.zeros((b,), np.int32)
                 for slot, (i, kt, jk) in enumerate(batch):
                     if isinstance(kt, RandomKtensorSpec):
                         continue
+                    k = id(kt)
+                    if k not in uniq:
+                        uniq[k] = len(uniq_models)
+                        uniq_models.append(kt)
+                    uidx[slot] = uniq[k]
+                n_u = len(uniq_models)
+                stacked = [
+                    np.zeros((n_u, m, r), np_dtype) for m in x.shape
+                ]
+                lam_stack = np.zeros((n_u, r), np_dtype)
+                for u, kt in enumerate(uniq_models):
                     rk = kt.rank
                     for f_dst, f_src in zip(stacked, kt.factors):
-                        f_dst[slot, :, :rk] = np.asarray(f_src)
-                    lam_stack[slot, :rk] = np.asarray(kt.lam)
+                        f_dst[u, :, :rk] = np.asarray(f_src)
+                    lam_stack[u, :rk] = np.asarray(kt.lam)
                 parts = stacked + [lam_stack]
-                flat = np.concatenate([p.reshape(-1) for p in parts])
-                dev = _packed_unpack(
-                    tuple(tuple(p.shape) for p in parts), str(np_dtype)
+                idx_wire = uidx.astype(
+                    {2: np.int16, 4: np.int32, 8: np.int64}[np_dtype.itemsize]
+                ).view(np_dtype)
+                flat = np.concatenate(
+                    [p.reshape(-1) for p in parts] + [idx_wire]
+                )
+                dev = _packed_intake(
+                    tuple(tuple(p.shape) for p in parts), b, str(np_dtype)
                 )(jnp.asarray(flat))
                 kt_b = Ktensor(tuple(dev[:-1]), dev[-1])
             if spec_mask_h.any():
