@@ -62,14 +62,18 @@ def _make_params(
 
 def _init_models(x, ranks, init, dtype, seed):
     if init == "random":
-        import numpy as np
+        # Device-generated random initial guesses: the engine materializes
+        # specs on the accelerator, so nothing but seeds crosses the
+        # host->device link (see ktensor.RandomKtensorSpec). The result is
+        # deterministic in (seed, position).
+        from .ktensor import RandomKtensorSpec
 
-        from .ktensor import random_ktensor_host
-
-        rng = np.random.default_rng(seed)
         return [
-            random_ktensor_host(rng, x.shape, int(r), dtype=dtype)
-            for r in ranks
+            RandomKtensorSpec(
+                tuple(x.shape), int(r), seed=seed * 100003 + i,
+                dtype=str(jnp.dtype(dtype)),
+            )
+            for i, r in enumerate(ranks)
         ]
     models = []
     for m in init:
@@ -87,7 +91,9 @@ def _init_models(x, ranks, init, dtype, seed):
 @dataclass
 class FitResult:
     ktensors: list  # fitted models, input order
-    initial: list  # the initial guesses used
+    # The initial guesses used: Ktensors as passed, or RandomKtensorSpec
+    # entries for init='random' (materialize with ktensor.spec_to_ktensor).
+    initial: list
     errors: list = field(default_factory=list)
     iters: list = field(default_factory=list)
     fits: list = field(default_factory=list)

@@ -132,15 +132,25 @@ def cp_batched_als(
         kt_b = jax.tree.map(lambda *fs: jnp.stack(fs), *kts)
     final = _run_vmap_als(x, kt_b, params, params.max_iterations)
     b = final.iters.shape[0]
+    # Bulk host fetch ONCE: per-model device indexing (`final.fit[i]`) costs
+    # a dispatch + fetch round trip EACH (~30-60 ms on tunneled backends),
+    # which dominated the batched-ALS baseline's wall at B models x 3 reads.
+    import numpy as np
+
+    iters_h = np.asarray(final.iters)
+    fit_h = np.asarray(final.fit)
+    err_h = np.asarray(final.approx_error)
+    conv_h = np.asarray(final.converged)
+    kt_h = jax.tree.map(np.asarray, final.kt)
     results, reports = [], []
     for i in range(b):
-        results.append(jax.tree.map(lambda a: a[i], final.kt))
+        results.append(jax.tree.map(lambda a: a[i], kt_h))
         reports.append(
             AlsReport(
-                iters=int(final.iters[i]),
-                fit=float(final.fit[i]),
-                approx_error=float(final.approx_error[i]),
-                converged=bool(final.converged[i]),
+                iters=int(iters_h[i]),
+                fit=float(fit_h[i]),
+                approx_error=float(err_h[i]),
+                converged=bool(conv_h[i]),
             )
         )
     return results, reports
