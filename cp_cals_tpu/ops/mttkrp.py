@@ -255,7 +255,9 @@ def mttkrp_batched(
     if method == "pallas":
         from .pallas_mttkrp import mttkrp_batched_pallas
 
-        return mttkrp_batched_pallas(x, factors, mode, prepared=prepared)
+        return mttkrp_batched_pallas(
+            x, factors, mode, prepared=prepared, precision=precision
+        )
     if method in ("krp_gemm", "auto"):
         return mttkrp_batched_krp(x, factors, mode, precision, prepared)
     if method == "twostep":

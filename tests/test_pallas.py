@@ -57,11 +57,27 @@ def test_pallas_prepared_tensor(mode=1):
 
 def test_pallas_odd_rank_padding():
     """Odd ranks force db = 128; exercise the alignment picker."""
-    from cp_cals_tpu.ops.pallas_mttkrp import _pick_cj, _pick_db
+    from cp_cals_tpu.ops.pallas_mttkrp import _pick_db
 
     assert _pick_db(16) * 16 % 128 == 0
     assert _pick_db(20) * 20 % 128 == 0
     assert _pick_db(19) * 19 % 128 == 0
-    for kp in (8, 24, 48, 56, 128):
-        cj = _pick_cj(kp, 8)
-        assert (cj * kp) % 128 == 0 and cj % 8 == 0
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_pallas_row_tiling(mode):
+    """Multi-tile target mode (ip > ti) exercises grid accumulation."""
+    key = jax.random.PRNGKey(2)
+    ks = jax.random.split(key, 4)
+    modes = (40, 36, 20)
+    b, r = 4, 8
+    x = jax.random.normal(ks[0], modes, jnp.float32)
+    factors = tuple(
+        jax.random.normal(k, (b, m, r), jnp.float32)
+        for k, m in zip(ks[1:], modes)
+    )
+    want = mttkrp_batched_krp(x, factors, mode)
+    got = mttkrp_batched_pallas(x, factors, mode, interpret=True, ti=8, cj=4)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-4
+    )
