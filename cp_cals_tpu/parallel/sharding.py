@@ -39,22 +39,49 @@ def make_mesh(n_dp: int | None = None, n_tp: int = 1, devices=None) -> Mesh:
     return Mesh(devs, ("dp", "tp"))
 
 
-def ktensor_pspecs(kt: Ktensor, shard_mode0: bool) -> Ktensor:
+def _axis_if_divisible(mesh: Mesh | None, axis: str, size: int) -> str | None:
+    """Shard ``size`` over ``axis`` only when it divides evenly; otherwise
+    replicate that dimension. Small tail buckets (batch 1-2 on a 4-wide dp
+    axis) stay correct — they just don't get dp parallelism."""
+    if mesh is None:
+        return axis
+    n = mesh.shape.get(axis, 1)
+    return axis if n > 0 and size % n == 0 else None
+
+
+def ktensor_pspecs(
+    kt: Ktensor, shard_mode0: bool, mesh: Mesh | None = None
+) -> Ktensor:
     """PartitionSpecs for a batched Ktensor: batch on dp; factor-0 rows on tp
     when the tensor's mode 0 is sharded."""
-    f0 = P("dp", "tp" if shard_mode0 else None, None)
-    rest = tuple(P("dp", None, None) for _ in kt.factors[1:])
-    return Ktensor((f0,) + rest, P("dp", None))
+    dp = _axis_if_divisible(mesh, "dp", kt.lam.shape[0])
+    tp = (
+        _axis_if_divisible(mesh, "tp", kt.factors[0].shape[1])
+        if shard_mode0
+        else None
+    )
+    f0 = P(dp, tp, None)
+    rest = tuple(P(dp, None, None) for _ in kt.factors[1:])
+    return Ktensor((f0,) + rest, P(dp, None))
 
 
-def state_pspecs(state: SolverState, shard_mode0: bool) -> SolverState:
+def state_pspecs(
+    state: SolverState, shard_mode0: bool, mesh: Mesh | None = None
+) -> SolverState:
     """PartitionSpec pytree matching a batched SolverState."""
-    kt_spec = ktensor_pspecs(state.kt, shard_mode0)
-    scalar = P("dp")
-    grams = tuple(P("dp", None, None) for _ in state.grams)
+    kt_spec = ktensor_pspecs(state.kt, shard_mode0, mesh)
+    dp = _axis_if_divisible(mesh, "dp", state.fit.shape[0])
+    scalar = P(dp)
+    grams = tuple(P(dp, None, None) for _ in state.grams)
     active = tuple(
-        P("dp", "tp" if (shard_mode0 and i == 0) else None, None)
-        for i, _ in enumerate(state.active)
+        P(
+            dp,
+            _axis_if_divisible(mesh, "tp", a.shape[1])
+            if (shard_mode0 and i == 0)
+            else None,
+            None,
+        )
+        for i, a in enumerate(state.active)
     )
     if isinstance(state.ls, LsState):
         ls = LsState(
@@ -72,7 +99,7 @@ def state_pspecs(state: SolverState, shard_mode0: bool) -> SolverState:
     return SolverState(
         kt=kt_spec,
         grams=grams,
-        rank_mask=P("dp", None),
+        rank_mask=P(dp, None),
         iters=scalar,
         fit=scalar,
         old_fit=scalar,
@@ -86,8 +113,11 @@ def state_pspecs(state: SolverState, shard_mode0: bool) -> SolverState:
     )
 
 
-def tensor_pspec(x: Array, shard_mode0: bool) -> P:
-    return P("tp" if shard_mode0 else None, *([None] * (x.ndim - 1)))
+def tensor_pspec(x: Array, shard_mode0: bool, mesh: Mesh | None = None) -> P:
+    tp = (
+        _axis_if_divisible(mesh, "tp", x.shape[0]) if shard_mode0 else None
+    )
+    return P(tp, *([None] * (x.ndim - 1)))
 
 
 def to_shardings(mesh: Mesh, spec_tree):
@@ -105,8 +135,8 @@ def make_sharded_step(
     """Jit the batched CALS iteration with mesh shardings; returns
     (step_fn, sharded_x, sharded_state)."""
     iteration = make_iteration(params, batched=True)
-    x_sh = NamedSharding(mesh, tensor_pspec(x, shard_mode0))
-    st_sh = to_shardings(mesh, state_pspecs(state, shard_mode0))
+    x_sh = NamedSharding(mesh, tensor_pspec(x, shard_mode0, mesh))
+    st_sh = to_shardings(mesh, state_pspecs(state, shard_mode0, mesh))
     scalar_sh = NamedSharding(mesh, P())
     step = jax.jit(
         iteration,

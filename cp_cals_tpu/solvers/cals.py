@@ -223,6 +223,21 @@ def _evict_stats(state: SolverState) -> Array:
     )
 
 
+def _fetch(arr):
+    """Host fetch that also works for multi-process global arrays.
+
+    Single-process: plain ``np.asarray``. Multi-process (jax.distributed):
+    dp-sharded arrays span non-addressable devices, so every process joins
+    a ``process_allgather`` (a collective — all processes MUST call in the
+    same order, which is why multi-process runs force bucket_threads=1 and
+    serial materialization)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+    return np.asarray(arr)
+
+
 @jax.jit
 def _gather_slots(state: SolverState, idx: Array) -> SolverState:
     """Repack selected slots into a smaller bucket (the TPU analog of the
@@ -427,7 +442,7 @@ def precompile_buckets(
             out = run_until_evict(x, state, jnp.asarray(1.0, dtype))
         else:
             out = step(x, state, jnp.asarray(1.0, dtype))
-        np.asarray(_evict_stats(out))  # sync + warm the stats packer too
+        _fetch(_evict_stats(out))  # sync + warm the stats packer too
 
     jobs = [(r, b) for wave in waves for r, b in wave.items()]
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
@@ -481,7 +496,9 @@ def cp_cals(
         from ..parallel.sharding import tensor_pspec
         from jax.sharding import NamedSharding
 
-        x = jax.device_put(x, NamedSharding(mesh, tensor_pspec(x, shard_mode0)))
+        x = jax.device_put(
+            x, NamedSharding(mesh, tensor_pspec(x, shard_mode0, mesh))
+        )
     dtype = _queue_dtype(queue)
     x_norm = jnp.linalg.norm(x.ravel().astype(jnp.result_type(dtype, jnp.float32)))
     x_norm = x_norm.astype(dtype)
@@ -534,7 +551,9 @@ def cp_cals(
 
     # 4 streams: measured on the tunneled backend, device->host bandwidth
     # aggregates ~21 -> ~55 MB/s from 1 to 4 parallel fetches and saturates.
-    mat_pool = _cf.ThreadPoolExecutor(4)
+    # Multi-process runs serialize fetches (1 worker): _fetch is a collective
+    # and every process must issue the same sequence in the same order.
+    mat_pool = _cf.ThreadPoolExecutor(1 if jax.process_count() > 1 else 4)
 
     def run_bucket(r, dq, b):
         """One bucket's full solve at its budget-allocated batch size ``b``.
@@ -645,7 +664,8 @@ def cp_cals(
                 from ..parallel.sharding import state_pspecs, to_shardings
 
                 state = jax.device_put(
-                    state, to_shardings(mesh, state_pspecs(state, shard_mode0))
+                    state,
+                    to_shardings(mesh, state_pspecs(state, shard_mode0, mesh)),
                 )
             resumed = True
 
@@ -659,8 +679,8 @@ def cp_cals(
             arrays = {}
             for mid, kt_h in local_done.items():
                 for m, f in enumerate(kt_h.factors):
-                    arrays[f"{mid}_f{m}"] = np.asarray(f)
-                arrays[f"{mid}_lam"] = np.asarray(kt_h.lam)
+                    arrays[f"{mid}_f{m}"] = _fetch(f)
+                arrays[f"{mid}_lam"] = _fetch(kt_h.lam)
             if arrays:
                 np.savez(ckpt_done_path, **arrays)
             save_state(
@@ -770,7 +790,8 @@ def cp_cals(
                 from ..parallel.sharding import state_pspecs, to_shardings
 
                 state = jax.device_put(
-                    state, to_shardings(mesh, state_pspecs(state, shard_mode0))
+                    state,
+                    to_shardings(mesh, state_pspecs(state, shard_mode0, mesh)),
                 )
 
         pt["setup"] = _time.perf_counter() - _t0
@@ -787,7 +808,7 @@ def cp_cals(
             else:
                 state = step(x, state, x_norm)
                 engine_iters += 1
-            stats = np.asarray(_evict_stats(state))
+            stats = _fetch(_evict_stats(state))
             conv = stats[0] != 0
             dt_solve = _time.perf_counter() - _t0
             pt["solve"] += dt_solve
@@ -802,7 +823,7 @@ def cp_cals(
                 from ..utils.timers import IterationRecord
 
                 k = int(tk)
-                rows = np.asarray(tbuf)[:k]
+                rows = _fetch(tbuf)[:k]
                 for j, (n_live, n_cols) in enumerate(rows):
                     trace.add(
                         IterationRecord(
@@ -871,14 +892,14 @@ def cp_cals(
                     # whole-pytree future would serialize the 4 copies.
                     leaves, treedef = jax.tree.flatten(kt_ev)
                     local_pending.append((
-                        [mat_pool.submit(np.asarray, l) for l in leaves],
+                        [mat_pool.submit(_fetch, l) for l in leaves],
                         treedef,
                         block_models,
                     ))
                 else:
                     # Checkpointed runs materialize results now so the done
                     # archive on disk is complete after every round.
-                    kt_np = jax.tree.map(np.asarray, kt_ev)
+                    kt_np = jax.tree.map(_fetch, kt_ev)
                 for pos, slot in enumerate(evicted):
                     i, rank, jk = slot_meta[slot]
                     rep_m = CalsModelReport(
@@ -948,6 +969,10 @@ def cp_cals(
         # Tracing works threaded too: RunTrace.add is a list append (atomic
         # under the GIL) and records carry their bucket rank.
         n_threads = min(params.bucket_threads, len(items)) or 1
+        if jax.process_count() > 1:
+            # Lockstep dispatch: all processes must trace/dispatch the same
+            # programs and join the same collectives in the same order.
+            n_threads = 1
         if n_threads > 1:
             import concurrent.futures
 
