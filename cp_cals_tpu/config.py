@@ -85,6 +85,11 @@ class AlsParams:
     nnls_algorithm: str = "bpp"
     # Matmul precision for factor-path einsums ("highest" = fp32 accum on MXU).
     precision: str = "highest"
+    # Normal-matrix solve: "gj" (statically-unrolled Gauss-Jordan inverse,
+    # fastest on TPU for the tiny [B, R, R] systems), "chol" (XLA Cholesky,
+    # the reference's dpotrf+dtrsm analog), or "pallas" (lane-batched
+    # Gauss-Jordan Pallas kernel; TPU-only).
+    solve_method: str = "gj"
     # Debug oracle: warn when a model's error rises > 1e-4 between
     # iterations (reference als.cpp:233-238 warn / cals.cpp:299 assert).
     debug: bool = False
@@ -116,6 +121,8 @@ class CalsParams:
     nnls_max_outer: int = 0
     nnls_algorithm: str = "bpp"
     precision: str = "highest"
+    # Normal-matrix solve: "gj" / "chol" / "pallas" (see AlsParams).
+    solve_method: str = "gj"
     # Host-sync policy: "evict" runs a device-side while_loop that freezes
     # each model at its convergence point and returns only when something is
     # ready to evict (amortizes host round-trips, trajectories unchanged);

@@ -196,6 +196,37 @@ def normalize_mode(kt: Ktensor, mode: int, iteration: Array | int) -> Ktensor:
     return Ktensor(factors, lam_new.astype(kt.lam.dtype))
 
 
+def normalize_factor_fused(
+    f: Array, iteration: Array | int, precision=jax.lax.Precision.HIGHEST
+) -> tuple[Array, Array, Array]:
+    """``normalize_mode`` + the normalized factor's gramian, in one pass.
+
+    Returns (normalized factor, new lam, gramian of the normalized factor).
+    Same semantics as ``normalize_mode(kt, n, iteration)`` followed by
+    ``gramian(kt.factors[n])`` (reference ktensor.cpp:66-83 +
+    utils.cpp:174-178), restructured so the iteration-1 L2 column norms come
+    from the raw gramian's diagonal (already a matmul byproduct) and the
+    normalized gramian is a rank-1 rescale of the raw one instead of a second
+    matmul. Reconstruction is invariant to the scale split between factor and
+    lam, so the fp difference vs the unfused path is at matmul-rounding level.
+    Measured 2-8x faster than the unfused pair on TPU at the bench shapes
+    (data/benchmarks/update_variants.json).
+    """
+    from .ops.gramians import gramian
+
+    gm_raw = gramian(f, precision)
+    l2 = jnp.sqrt(jnp.abs(jnp.diagonal(gm_raw, axis1=-2, axis2=-1)))
+    mx = jnp.max(f, axis=-2)
+    mn = jnp.min(f, axis=-2)
+    maxval = jnp.where(mx >= -mn, mx, mn)  # signed max magnitude (idamax)
+    is_first = (jnp.asarray(iteration) == 1)[..., None]
+    lam_new = jnp.where(is_first, l2, maxval).astype(f.dtype)
+    safe = jnp.where(lam_new != 0, lam_new, 1.0)
+    f_new = f / safe[..., None, :]
+    gm = gm_raw / (safe[..., :, None] * safe[..., None, :])
+    return f_new, lam_new, gm
+
+
 def denormalize(kt: Ktensor) -> Ktensor:
     """Fold lam into factor 0 (reference src/ktensor.cpp:101-107)."""
     f0 = kt.factors[0] * kt.lam[..., None, :]
@@ -220,20 +251,27 @@ def to_tensor(kt: Ktensor, precision=jax.lax.Precision.HIGHEST) -> Array:
     return jnp.einsum(expr, *operands, kt.lam, precision=precision)
 
 
-def set_jk_fiber(kt: Ktensor, fiber: Array | int, value: float = 0.0) -> Ktensor:
-    """Scale row ``fiber`` of the mode-0 factor (the jackknife masked sample).
+def scale_jk_rows(f0: Array, fiber: Array | int, value: float = 0.0) -> Array:
+    """Scale row ``fiber`` of a mode-0 factor array (jackknife masked sample).
 
-    Mirrors ``Ktensor::set_jk_fiber`` (reference include/ktensor.h:316-325)
-    for the scale case. ``fiber < 0`` means "not a jackknife model" — no-op,
-    which lets the batched engine apply this uniformly with a mask.
+    ``fiber < 0`` means "not a jackknife model" — no-op, which lets the
+    batched engine apply this uniformly with a mask.
     """
-    f0 = kt.factors[0]
     rows = f0.shape[-2]
     fiber = jnp.asarray(fiber)
     row_ids = jnp.arange(rows)
     # [..., I0]: which row is the jackknifed fiber of each model
     hit = (row_ids == fiber[..., None]) & (fiber >= 0)[..., None]
-    f0_new = jnp.where(hit[..., None], f0 * value, f0)
+    return jnp.where(hit[..., None], f0 * value, f0)
+
+
+def set_jk_fiber(kt: Ktensor, fiber: Array | int, value: float = 0.0) -> Ktensor:
+    """Scale row ``fiber`` of the mode-0 factor (the jackknife masked sample).
+
+    Mirrors ``Ktensor::set_jk_fiber`` (reference include/ktensor.h:316-325)
+    for the scale case.
+    """
+    f0_new = scale_jk_rows(kt.factors[0], fiber, value)
     return Ktensor((f0_new,) + kt.factors[1:], kt.lam)
 
 

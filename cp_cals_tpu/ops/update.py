@@ -40,19 +40,14 @@ def padded_hadamard(h: Array, rank_mask: Array) -> Array:
     return h * pair + eye * (1.0 - m[..., None, :])
 
 
-def update_factor_unconstrained(
-    g: Array, h: Array, precision=jax.lax.Precision.HIGHEST
-) -> Array:
-    """Solve U H = G for U (reference update.cpp:178-192), batched.
+def cholesky_inverse(h: Array, precision=jax.lax.Precision.HIGHEST) -> Array:
+    """H^-1 of a batched SPD matrix via XLA Cholesky + triangular solve.
 
-    Same Cholesky factorization as the reference's dpotrf+2x dtrsm, but the
-    O(I R^2) substitution work is restructured for the MXU: invert the small
-    [R, R] triangular factor once per model (R x R solves), form H^-1, and
-    apply it with ONE batched matmul over the I-sized axis. Right-side
-    triangular solves over [B, I, R] operands are ~10x slower on TPU than
-    the equivalent matmul (lane-starved substitution vs dense MXU work).
-
-    g: [..., I, R] MTTKRP result; h: [..., R, R] SPD normal matrix.
+    Same factorization as the reference's dpotrf+dtrsm (update.cpp:178-192).
+    On TPU both lax.linalg ops lower to column-at-a-time device loops, so for
+    the tiny [B, R, R] normal matrices of this workload the unrolled
+    Gauss-Jordan below is ~an order of magnitude faster; this path remains
+    as the numerical cross-check and for very large R.
     """
     r = h.shape[-1]
     chol = jax.lax.linalg.cholesky(h)  # lower
@@ -60,9 +55,62 @@ def update_factor_unconstrained(
     l_inv = jax.lax.linalg.triangular_solve(
         chol, eye, left_side=True, lower=True
     )  # [..., R, R]
-    h_inv = jnp.einsum(
+    return jnp.einsum(
         "...sr,...st->...rt", l_inv, l_inv, precision=precision
     )  # L^-T L^-1 = H^-1
+
+
+def gj_inverse(h: Array) -> Array:
+    """H^-1 of a batched SPD matrix via statically-unrolled Gauss-Jordan.
+
+    No pivoting: for SPD matrices every pivot is a positive Schur-complement
+    diagonal, so elimination without pivoting is numerically stable (same
+    growth bound as Cholesky). The R-step loop is a static Python unroll of
+    fused elementwise ops over the [..., R, R] batch — no device-side while
+    loop, no per-column dynamic slicing — which is what makes it fast where
+    XLA's blocked Cholesky (built for large single matrices) is latency-bound
+    on [B, 20, 20] batches.
+    """
+    r = h.shape[-1]
+    a = h
+    inv = jnp.broadcast_to(jnp.eye(r, dtype=h.dtype), h.shape)
+    rows = jnp.arange(r)[:, None]  # [R, 1] row-index mask helper
+    for j in range(r):
+        d = a[..., j : j + 1, j : j + 1]  # [..., 1, 1] pivot
+        arow = a[..., j : j + 1, :] / d  # [..., 1, R]
+        irow = inv[..., j : j + 1, :] / d
+        colj = a[..., :, j : j + 1]  # [..., R, 1]
+        is_j = rows == j
+        a = jnp.where(is_j, arow, a - colj * arow)
+        inv = jnp.where(is_j, irow, inv - colj * irow)
+    return inv
+
+
+def update_factor_unconstrained(
+    g: Array, h: Array, precision=jax.lax.Precision.HIGHEST,
+    solve: str = "gj",
+) -> Array:
+    """Solve U H = G for U (reference update.cpp:178-192), batched.
+
+    The reference does dpotrf + two right-side dtrsm per model inside an
+    OpenMP loop; here the O(I R^2) substitution work is restructured for the
+    MXU: form H^-1 once per model (tiny [R, R] inverses, batched) and apply
+    it with ONE batched matmul over the I-sized axis. Right-side triangular
+    solves over [B, I, R] operands are ~10x slower on TPU than the
+    equivalent matmul (lane-starved substitution vs dense MXU work).
+
+    g: [..., I, R] MTTKRP result; h: [..., R, R] SPD normal matrix.
+    solve: "gj" (unrolled Gauss-Jordan, default), "chol" (XLA Cholesky),
+    or "pallas" (lane-batched Gauss-Jordan kernel; TPU, [B, R, R] only).
+    """
+    if solve == "pallas" and h.ndim == 3:
+        from .pallas_solve import spd_inverse_pallas
+
+        h_inv = spd_inverse_pallas(h)
+    elif solve == "chol":
+        h_inv = cholesky_inverse(h, precision)
+    else:
+        h_inv = gj_inverse(h)
     return jnp.einsum("...ir,...rt->...it", g, h_inv, precision=precision)
 
 
@@ -75,9 +123,15 @@ def _masked_solve(h: Array, y: Array, passive: Array) -> tuple[Array, Array]:
     """Solve the passive-subset system H_pp d_p = y_p via identity padding.
 
     Active rows/cols are replaced by identity and zero RHS, so the returned d
-    is zero on the active set and solves the passive block exactly. Returns
-    (d, failed) where failed flags a non-SPD subsystem (NaN in the factor) —
-    the analog of the reference's CholFail exception (update.cpp:14-16).
+    is zero on the active set and solves the passive block exactly.
+
+    Returns (d, failed) where failed flags a non-SPD subsystem (NaN in the
+    factor) — the analog of the reference's CholFail exception
+    (update.cpp:14-16). Stays on XLA's Cholesky rather than the unrolled
+    Gauss-Jordan used by the unconstrained path: this runs ~5x inside the
+    active-set while-loop bodies, where a statically-unrolled R-step solve
+    multiplies compiled program size (measured 2.3x compile time) for no
+    wall-clock win.
     """
     p = passive.astype(h.dtype)
     m = h * (p[:, None] * p[None, :]) + jnp.diag(1.0 - p)

@@ -32,12 +32,12 @@ from ..config import (
 from ..ktensor import (
     Ktensor,
     denormalize,
+    normalize_factor_fused,
     normalize_full,
-    normalize_mode,
-    set_jk_fiber,
+    scale_jk_rows,
 )
 from ..ops.error import fast_error
-from ..ops.gramians import gramian, gramians, hadamard_all, hadamard_but_one
+from ..ops.gramians import gramians, hadamard_all, hadamard_but_one
 from ..ops.mttkrp import mttkrp, mttkrp_batched
 from ..ops.update import (
     padded_hadamard,
@@ -149,15 +149,21 @@ def make_iteration(
                 )
                 active = active[:n] + (act_n,) + active[n + 1 :]
             else:
-                u = update_factor_unconstrained(g, h)
-            kt = Ktensor(kt.factors[:n] + (u,) + kt.factors[n + 1 :], kt.lam)
+                u = update_factor_unconstrained(
+                    g, h, solve=params.solve_method
+                )
             if n == 0:
                 # Jackknife: re-zero the left-out sample's row after every
                 # mode-0 update (reference cals.cpp:250-251). Mode-0 JK only,
                 # as used by the reference's jackknife drivers.
-                kt = set_jk_fiber(kt, state.jk_fiber, 0.0)
-            kt = normalize_mode(kt, n, iters)
-            grams = grams[:n] + (gramian(kt.factors[n], precision),) + grams[n + 1 :]
+                u = scale_jk_rows(u, state.jk_fiber, 0.0)
+            # Fused normalize + gramian (normalize_mode semantics; L2 norms
+            # from the gramian diagonal, normalized gramian by rescale).
+            f_new, lam_new, gm = normalize_factor_fused(u, iters, precision)
+            kt = Ktensor(
+                kt.factors[:n] + (f_new,) + kt.factors[n + 1 :], lam_new
+            )
+            grams = grams[:n] + (gm,) + grams[n + 1 :]
 
         # ------------------------------------------------------ fast error
         err = fast_error(

@@ -184,3 +184,64 @@ def test_fast_error_compensated_f32():
         jnp.stack([f32(gh)] * 2),
     )
     np.testing.assert_allclose(np.asarray(got_b), [want, want], rtol=1e-4)
+
+
+def test_spd_solve_variants_agree():
+    """gj_inverse / cholesky_inverse / Pallas (interpret) vs numpy.linalg.inv,
+    including an ill-conditioned SPD system — the solve variants behind
+    update_factor_unconstrained (reference update.cpp:178-192)."""
+    from cp_cals_tpu.ops.pallas_solve import spd_inverse_pallas
+    from cp_cals_tpu.ops.update import cholesky_inverse, gj_inverse
+
+    rng = np.random.default_rng(3)
+    for r, jitter in ((4, 1.0), (20, 1.0), (20, 1e-6)):
+        a = rng.normal(size=(6, r, r))
+        h = jnp.asarray(a @ np.transpose(a, (0, 2, 1)) + jitter * np.eye(r))
+        want = np.linalg.inv(np.asarray(h))
+        scale = np.abs(want).max()
+        for got in (gj_inverse(h), cholesky_inverse(h)):
+            rel = np.abs(np.asarray(got, np.float64) - want).max() / scale
+            assert rel < 1e-5, rel
+        # fp32 kernel: error bound scales with the condition number.
+        got = spd_inverse_pallas(h.astype(jnp.float32), interpret=True)
+        cond = np.linalg.cond(np.asarray(h)).max()
+        rel = np.abs(np.asarray(got, np.float64) - want).max() / scale
+        assert rel < 100 * cond * np.finfo(np.float32).eps, (rel, cond)
+
+
+def test_update_solve_methods_equivalent():
+    """update_factor_unconstrained gives the same factor for every solve."""
+    from cp_cals_tpu.ops.update import update_factor_unconstrained
+
+    rng = np.random.default_rng(4)
+    b, i, r = 5, 17, 8
+    a = rng.normal(size=(b, r, r))
+    h = jnp.asarray(a @ np.transpose(a, (0, 2, 1)) + r * np.eye(r))
+    g = jnp.asarray(rng.normal(size=(b, i, r)))
+    u_gj = np.asarray(update_factor_unconstrained(g, h, solve="gj"))
+    u_ch = np.asarray(update_factor_unconstrained(g, h, solve="chol"))
+    np.testing.assert_allclose(u_gj, u_ch, rtol=1e-9, atol=1e-9)
+
+
+def test_normalize_factor_fused_matches_unfused():
+    """normalize_factor_fused == normalize_mode + gramian (both iteration
+    regimes: L2 at iteration 1, signed-max after)."""
+    from cp_cals_tpu.ktensor import normalize_factor_fused, normalize_mode
+    from cp_cals_tpu.ops.gramians import gramian
+
+    rng = np.random.default_rng(5)
+    f = jnp.asarray(rng.normal(size=(3, 11, 6)))
+    f = f.at[:, :, -1].set(0.0)  # padded column stays inert
+    lam = jnp.ones((3, 6), f.dtype)
+    for it in (1, 7):
+        iters = jnp.full((3,), it, jnp.int32)
+        kt = normalize_mode(Ktensor((f,), lam), 0, iters)
+        want_f, want_lam = kt.factors[0], kt.lam
+        want_g = gramian(want_f)
+        got_f, got_lam, got_g = normalize_factor_fused(f, iters)
+        np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got_lam), np.asarray(want_lam),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                                   rtol=1e-12, atol=1e-12)
