@@ -92,8 +92,15 @@ def main():
         # Ours is a PADDED-column budget (buckets pad rank up), so the
         # matched capacity is sum over models of bucket_rank = 5760 — same
         # workload concurrency, honest padded accounting.
-        buffer_size=5760,
-        bucket_ranks=(4, 8, 12, 16, 20),
+        buffer_size=int(os.environ.get("BENCH_BUFFER", "5760")),
+        # Bucket grid A/B on hardware (r2): (4,8,16,20) beats
+        # (4,8,12,16,20) and (4,12,20) — one fewer program per wave pays
+        # for the extra rank padding; coarser grids lose to padded MTTKRP
+        # FLOPs and padded result-fetch bytes.
+        bucket_ranks=tuple(
+            int(r)
+            for r in os.environ.get("BENCH_BUCKETS", "4,8,16,20").split(",")
+        ),
         line_search=False,
         # bf16_3x matmul passes: f32-equivalent accuracy for this workload
         # (measured: mean fit matches "highest" to ~1e-4 at 1.26x speed).
@@ -112,7 +119,7 @@ def main():
 
     wall_s = float("inf")
     mat_s = 0.0
-    n_reps = 2 if SMOKE else 3
+    n_reps = 2 if SMOKE else 5
     for _ in range(n_reps):  # best-of-N: shared-chip throughput is noisy
         t0 = time.perf_counter()
         results, rep = cp_cals(x, queue, params)

@@ -962,9 +962,15 @@ def cp_cals(
         return local_models, local_pending, local_done, pt, engine_iters
 
     for wave in waves:
+        # Largest-work-first (LPT) dispatch order: the widest bucket has both
+        # the longest device solve and the biggest result download, so
+        # launching it first lets its device->host fetch overlap the smaller
+        # buckets' compute instead of landing after everything else as a
+        # serialized tail (deterministic order — required for multi-process
+        # lockstep dispatch).
         items = sorted(
             ((r, buckets[r], b) for r, b in wave.items()),
-            key=lambda t: t[0],
+            key=lambda t: (-t[0] * t[2], t[0]),
         )
         # Tracing works threaded too: RunTrace.add is a list append (atomic
         # under the GIL) and records carry their bucket rank.
