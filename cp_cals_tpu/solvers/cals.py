@@ -78,13 +78,16 @@ class CalsReport:
 
 @lru_cache(maxsize=64)
 def _jitted_programs(
-    params: CalsParams, methods: tuple | None, traced: bool = False
+    params: CalsParams, methods: tuple | None, traced: bool = False,
+    has_jk: bool = True,
 ):
     """One jitted (step, run_until_evict) pair per static config — reused
     across cp_cals calls so repeated runs don't retrace. ``traced`` builds
     the run_until_evict variant that records per-iteration device counters
     (active models/columns) into a buffer."""
-    iteration = make_iteration(params, batched=True, mttkrp_methods=methods)
+    iteration = make_iteration(
+        params, batched=True, mttkrp_methods=methods, has_jk=has_jk
+    )
     cap = params.max_iterations if traced else 0
     # NOTE: state donation (donate_argnums=(1,)) is NOT safe here — the
     # state pytree aliases leaves at rest (ls.prev/ls.backup start as the
@@ -340,8 +343,6 @@ def make_run_until_evict(iteration, trace_cap: int = 0):
     """
 
     def run(x, state: SolverState, x_norm):
-        from .state import tree_where
-
         prepared = iteration.prepare(x)  # hoisted out of the loop
 
         def live_mask(s):
@@ -368,11 +369,17 @@ def make_run_until_evict(iteration, trace_cap: int = 0):
                 )
             else:
                 s = carry[0]
+            # No freeze-select here: the loop condition guarantees
+            # ``s.converged & s.alive`` is all-False whenever the body runs
+            # (the loop exits at the first converged live model and the host
+            # evicts/refills or kills every converged slot before re-entry),
+            # so selecting between ``s`` and ``new`` was a dead full-state
+            # pass per iteration. Trajectories are unchanged: a model that
+            # converges is extracted before the bucket iterates again.
             new = iteration(x, s, x_norm, prepared)
-            s2 = tree_where(s.converged & s.alive, s, new)
             if trace_cap:
-                return (s2, buf, k + 1)
-            return (s2,)
+                return (new, buf, k + 1)
+            return (new,)
 
         if trace_cap:
             buf0 = jnp.zeros((trace_cap, 2), jnp.int32)
@@ -397,7 +404,8 @@ def _bucket_demands(
 
 
 def precompile_buckets(
-    x: Array, queue: Sequence[Ktensor], params: CalsParams
+    x: Array, queue: Sequence[Ktensor], params: CalsParams,
+    has_jk: bool = False,
 ) -> None:
     """AOT-compile every bucket program this queue will need, in parallel
     threads. XLA compilation is thread-safe and the compile service
@@ -418,7 +426,7 @@ def precompile_buckets(
             methods = lookup_methods(x.shape, r, b)
         else:
             methods = None
-        step, run_until_evict = _jitted_programs(params, methods)
+        step, run_until_evict = _jitted_programs(params, methods, False, has_jk)
         factors = tuple(jnp.zeros((b, m, r), dtype) for m in x.shape)
         kt = Ktensor(factors, jnp.zeros((b, r), dtype))
         # Warm-up state that terminates after ONE real iteration: an
@@ -504,7 +512,8 @@ def cp_cals(
     x_norm = x_norm.astype(dtype)
     if jk_fibers is None:
         jk_fibers = [-1] * len(queue)
-    if any(f >= 0 for f in jk_fibers) and x_norms_jk is None:
+    has_jk = any(f >= 0 for f in jk_fibers)
+    if has_jk and x_norms_jk is None:
         from .jackknife import jackknife_norms
 
         x_norms_jk = jackknife_norms(x)
@@ -570,7 +579,9 @@ def cp_cals(
         else:
             methods = None
         traced = trace is not None and use_blocks
-        step, run_until_evict = _jitted_programs(params, methods, traced)
+        step, run_until_evict = _jitted_programs(
+            params, methods, traced, has_jk
+        )
         slot_meta: list[tuple[int, int, int] | None] = [None] * b  # (id, rank, jk)
 
         def make_slot_state(kt, jk: int):

@@ -82,6 +82,7 @@ def make_iteration(
     params: AlsParams | CalsParams,
     batched: bool,
     mttkrp_methods: tuple[str, ...] | None = None,
+    has_jk: bool = True,
 ) -> Callable[[Array, SolverState, Array], SolverState]:
     """Build the jittable iteration body for the given (static) params.
 
@@ -89,6 +90,10 @@ def make_iteration(
     (resolved from the autotune LUT by the CALS engine when the configured
     method is AUTO — the analog of the reference's per-mode LUT dispatch,
     mttkrp.cpp:575-587).
+
+    has_jk=False compiles out the jackknife row re-zeroing (a full pass
+    over the mode-0 factor per iteration) for runs whose queue contains no
+    jackknife models — the engine knows this statically at intake.
     """
     precision = resolve_precision(params.precision)
     nnls = params.update_method == UpdateMethod.NNLS
@@ -152,7 +157,7 @@ def make_iteration(
                 u = update_factor_unconstrained(
                     g, h, solve=params.solve_method
                 )
-            if n == 0:
+            if n == 0 and has_jk:
                 # Jackknife: re-zero the left-out sample's row after every
                 # mode-0 update (reference cals.cpp:250-251). Mode-0 JK only,
                 # as used by the reference's jackknife drivers.
