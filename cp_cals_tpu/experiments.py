@@ -239,6 +239,9 @@ def main(argv=None):
     p.add_argument("--nnls", action="store_true",
                    help="also run the non-negative (NNLS) comparison "
                         "(reference paper 6.3 uses constrained updates)")
+    p.add_argument("--large", action="store_true",
+                   help="include the 300^3 size (the reference's full §6.1 "
+                        "grid is 100/200/300^3, experiments.cpp:58-150)")
     args = p.parse_args(argv)
 
     from .config import AlsParams, CalsParams
@@ -253,6 +256,8 @@ def main(argv=None):
     sizes = [(50, 50, 50)] if args.quick else [(100, 100, 100), (200, 200, 200)]
     if args.no_base:
         sizes = []
+    if args.large and not args.quick:
+        sizes.append((300, 300, 300))
     copies = 2 if args.quick else 20
     rmax = 3 if args.quick else 20
     for modes in sizes:

@@ -41,8 +41,6 @@ from ..ktensor import (
     Ktensor,
     RandomKtensorSpec,
     _spec_columns,
-    pad_rank,
-    spec_to_ktensor,
 )
 from .iteration import make_iteration
 from .state import SolverState, init_state
@@ -192,10 +190,14 @@ def bucket_rank(rank: int, bucket_ranks: Sequence[int]) -> int:
 
 
 @jax.jit
-def _fill_slot(state: SolverState, slot: Array, slot_state: SolverState):
-    """Write one model into a vacant slot (analog of MultiKtensor::add,
-    src/multi_ktensor.cpp:41-130 — attach + gramian init + registry insert)."""
-    return jax.tree.map(lambda leaf, new: leaf.at[slot].set(new), state, slot_state)
+def _select_slots(state: SolverState, mask: Array, block: SolverState):
+    """Overwrite masked slots with a freshly-built block state (batched
+    refill: one program regardless of how many slots refill; analog of
+    MultiKtensor::add, src/multi_ktensor.cpp:41-130 — attach + gramian
+    init + registry insert)."""
+    from .state import tree_where
+
+    return tree_where(mask, block, state)
 
 
 def _slice_slot(tree, slot: int):
@@ -510,6 +512,10 @@ def cp_cals(
     dtype = _queue_dtype(queue)
     x_norm = jnp.linalg.norm(x.ravel().astype(jnp.result_type(dtype, jnp.float32)))
     x_norm = x_norm.astype(dtype)
+    # One scalar fetch per run: intakes/refills embed the norm in their
+    # host-packed x_norm_model arrays, and fetching it per block would pay
+    # a ~30 ms round trip each on tunneled backends.
+    x_norm_f = float(x_norm)
     if jk_fibers is None:
         jk_fibers = [-1] * len(queue)
     has_jk = any(f >= 0 for f in jk_fibers)
@@ -584,26 +590,118 @@ def cp_cals(
         )
         slot_meta: list[tuple[int, int, int] | None] = [None] * b  # (id, rank, jk)
 
-        def make_slot_state(kt, jk: int):
-            if isinstance(kt, RandomKtensorSpec):
-                kt = spec_to_ktensor(kt)
-            ktp = pad_rank(kt, r)
-            rank_mask = jnp.arange(r) < kt.rank
-            xnm = x_norm if jk < 0 else x_norms_jk[jk].astype(dtype)
-            return init_state(
-                ktp,
+        def build_block_state(batch_slots, bb):
+            """Build a [bb]-wide SolverState from per-slot intake items
+            (``(id, ktensor_or_spec, jk_fiber)`` or None for a dead slot)
+            in ONE host pack + upload + O(1) device programs — used for
+            both the initial block intake and batched refills (the
+            per-slot alternative costs several device round trips per
+            model; MultiKtensor::add analog, src/multi_ktensor.cpp:41-130).
+            Dead slots carry arbitrary factor values but rank_mask all
+            False and alive False; callers mask them out."""
+            np_dtype = np.dtype(str(jnp.dtype(dtype)))
+            spec_mask_h = np.zeros((bb,), bool)
+            seeds = np.zeros((bb,), np.uint32)
+            rank_mask = np.zeros((bb, r), bool)
+            for slot, item in enumerate(batch_slots):
+                if item is None:
+                    continue
+                kt = item[1]
+                rank_mask[slot, : kt.rank] = True
+                if isinstance(kt, RandomKtensorSpec):
+                    spec_mask_h[slot] = True
+                    seeds[slot] = np.uint32(kt.seed)
+            have_exp = any(
+                item is not None
+                and not isinstance(item[1], RandomKtensorSpec)
+                for item in batch_slots
+            )
+            kt_b = None
+            if have_exp:
+                # Dedup by object identity: jackknife queues repeat one
+                # fitted model per fiber, so only unique models upload.
+                uniq: dict[int, int] = {}
+                uniq_models: list = []
+                uidx = np.zeros((bb,), np.int32)
+                for slot, item in enumerate(batch_slots):
+                    if item is None or isinstance(
+                        item[1], RandomKtensorSpec
+                    ):
+                        continue
+                    kt = item[1]
+                    k = id(kt)
+                    if k not in uniq:
+                        uniq[k] = len(uniq_models)
+                        uniq_models.append(kt)
+                    uidx[slot] = uniq[k]
+                # Pad the unique count to a power of two: refill rounds
+                # carry a varying number of fresh models, and every
+                # distinct count would otherwise compile a fresh unpack.
+                n_u = _next_pow2(len(uniq_models))
+                stacked = [
+                    np.zeros((n_u, m, r), np_dtype) for m in x.shape
+                ]
+                lam_stack = np.zeros((n_u, r), np_dtype)
+                for u, kt in enumerate(uniq_models):
+                    rk = kt.rank
+                    for f_dst, f_src in zip(stacked, kt.factors):
+                        f_dst[u, :, :rk] = np.asarray(f_src)
+                    lam_stack[u, :rk] = np.asarray(kt.lam)
+                parts = stacked + [lam_stack]
+                idx_wire = uidx.astype(
+                    {2: np.int16, 4: np.int32, 8: np.int64}[
+                        np_dtype.itemsize
+                    ]
+                ).view(np_dtype)
+                flat = np.concatenate(
+                    [p.reshape(-1) for p in parts] + [idx_wire]
+                )
+                dev = _packed_intake(
+                    tuple(tuple(p.shape) for p in parts), bb, str(np_dtype)
+                )(jnp.asarray(flat))
+                kt_b = Ktensor(tuple(dev[:-1]), dev[-1])
+            if spec_mask_h.any() or kt_b is None:
+                kt_gen = _gen_random_block(x.shape, r, str(np_dtype))(
+                    jnp.asarray(seeds), jnp.asarray(rank_mask)
+                )
+                kt_b = (
+                    kt_gen
+                    if kt_b is None
+                    else _scatter_explicit(
+                        kt_gen, kt_b, jnp.asarray(spec_mask_h)
+                    )
+                )
+            jk_arr = np.full((bb,), -1, np.int32)
+            xnm = np.full((bb,), x_norm_f, dtype)
+            for slot, item in enumerate(batch_slots):
+                if item is None:
+                    continue
+                jk = item[2]
+                jk_arr[slot] = jk
+                if jk >= 0:
+                    xnm[slot] = float(x_norms_jk[jk])
+            new_state = init_state(
+                kt_b,
                 x_norm,
                 nnls=nnls,
                 line_search=params.line_search,
-                jk_fiber=jnp.asarray(jk, jnp.int32),
-                x_norm_model=xnm,
-                rank_mask=rank_mask,
+                jk_fiber=jnp.asarray(jk_arr),
+                x_norm_model=jnp.asarray(xnm),
+                rank_mask=jnp.asarray(rank_mask),
             )
+            new_state = new_state._replace(
+                alive=jnp.asarray([m is not None for m in batch_slots])
+            )
+            if mesh is not None:
+                from ..parallel.sharding import state_pspecs, to_shardings
 
-        def fill(state, slot):
-            i, kt, jk = dq.popleft()
-            slot_meta[slot] = (i, kt.rank, jk)
-            return _fill_slot(state, jnp.asarray(slot), make_slot_state(kt, jk))
+                new_state = jax.device_put(
+                    new_state,
+                    to_shardings(
+                        mesh, state_pspecs(new_state, shard_mode0, mesh)
+                    ),
+                )
+            return new_state
 
         # ------------------------------------------------- checkpoint setup
         import os as _os
@@ -713,97 +811,14 @@ def cp_cals(
         _t0 = _time.perf_counter()
         n0 = 0 if resumed else min(b, len(dq))
         if n0 > 0:
-            batch = [dq.popleft() for _ in range(n0)]
-            for slot, (i, kt, jk) in enumerate(batch):
-                slot_meta[slot] = (i, kt.rank, jk)
             # Pack on host into [B, I_n, R] arrays (models whose factors are
             # device-backed are pulled once here; prefer building queues with
             # random_ktensor_host / to_host to make this a pure host copy —
             # or RandomKtensorSpec entries, which upload nothing but seeds).
-            np_dtype = np.dtype(str(jnp.dtype(dtype)))
-            spec_mask_h = np.zeros((b,), bool)
-            seeds = np.zeros((b,), np.uint32)
-            rank_mask = np.zeros((b, r), bool)
+            batch = [dq.popleft() for _ in range(n0)]
             for slot, (i, kt, jk) in enumerate(batch):
-                rank_mask[slot, : kt.rank] = True
-                if isinstance(kt, RandomKtensorSpec):
-                    spec_mask_h[slot] = True
-                    seeds[slot] = np.uint32(kt.seed)
-            have_exp = any(
-                not isinstance(kt, RandomKtensorSpec) for _, kt, _ in batch
-            )
-            kt_b = None
-            if have_exp:
-                # Dedup by object identity: jackknife queues repeat one
-                # fitted model per fiber, so only unique models upload.
-                uniq: dict[int, int] = {}
-                uniq_models: list = []
-                uidx = np.zeros((b,), np.int32)
-                for slot, (i, kt, jk) in enumerate(batch):
-                    if isinstance(kt, RandomKtensorSpec):
-                        continue
-                    k = id(kt)
-                    if k not in uniq:
-                        uniq[k] = len(uniq_models)
-                        uniq_models.append(kt)
-                    uidx[slot] = uniq[k]
-                n_u = len(uniq_models)
-                stacked = [
-                    np.zeros((n_u, m, r), np_dtype) for m in x.shape
-                ]
-                lam_stack = np.zeros((n_u, r), np_dtype)
-                for u, kt in enumerate(uniq_models):
-                    rk = kt.rank
-                    for f_dst, f_src in zip(stacked, kt.factors):
-                        f_dst[u, :, :rk] = np.asarray(f_src)
-                    lam_stack[u, :rk] = np.asarray(kt.lam)
-                parts = stacked + [lam_stack]
-                idx_wire = uidx.astype(
-                    {2: np.int16, 4: np.int32, 8: np.int64}[np_dtype.itemsize]
-                ).view(np_dtype)
-                flat = np.concatenate(
-                    [p.reshape(-1) for p in parts] + [idx_wire]
-                )
-                dev = _packed_intake(
-                    tuple(tuple(p.shape) for p in parts), b, str(np_dtype)
-                )(jnp.asarray(flat))
-                kt_b = Ktensor(tuple(dev[:-1]), dev[-1])
-            if spec_mask_h.any():
-                kt_gen = _gen_random_block(x.shape, r, str(np_dtype))(
-                    jnp.asarray(seeds), jnp.asarray(rank_mask)
-                )
-                kt_b = (
-                    kt_gen
-                    if kt_b is None
-                    else _scatter_explicit(
-                        kt_gen, kt_b, jnp.asarray(spec_mask_h)
-                    )
-                )
-            jk_arr = np.full((b,), -1, np.int32)
-            xnm = np.full((b,), float(x_norm), dtype)
-            for slot, (i, kt, jk) in enumerate(batch):
-                jk_arr[slot] = jk
-                if jk >= 0:
-                    xnm[slot] = float(x_norms_jk[jk])
-            state = init_state(
-                kt_b,
-                x_norm,
-                nnls=nnls,
-                line_search=params.line_search,
-                jk_fiber=jnp.asarray(jk_arr),
-                x_norm_model=jnp.asarray(xnm),
-                rank_mask=jnp.asarray(rank_mask),
-            )
-            state = state._replace(
-                alive=jnp.asarray(np.arange(b) < n0)
-            )
-            if mesh is not None:
-                from ..parallel.sharding import state_pspecs, to_shardings
-
-                state = jax.device_put(
-                    state,
-                    to_shardings(mesh, state_pspecs(state, shard_mode0, mesh)),
-                )
+                slot_meta[slot] = (i, kt.rank, jk)
+            state = build_block_state(batch + [None] * (b - n0), b)
 
         pt["setup"] = _time.perf_counter() - _t0
         engine_iters = 0
@@ -911,6 +926,7 @@ def cp_cals(
                     # Checkpointed runs materialize results now so the done
                     # archive on disk is complete after every round.
                     kt_np = jax.tree.map(_fetch, kt_ev)
+                refills: list = []
                 for pos, slot in enumerate(evicted):
                     i, rank, jk = slot_meta[slot]
                     rep_m = CalsModelReport(
@@ -936,9 +952,27 @@ def cp_cals(
                         )
                     slot_meta[slot] = None
                     if dq:
-                        state = fill(state, slot)
+                        item = dq.popleft()
+                        slot_meta[slot] = (item[0], item[1].rank, item[2])
+                        refills.append((slot, item))
                     else:
                         keep[slot] = False
+                if refills:
+                    # Batched refill: ONE packed upload + ONE masked select
+                    # regardless of how many slots refill this round (the
+                    # per-slot scatter alternative costs several device
+                    # round trips per model, and under a multi-process mesh
+                    # required a replicated host-side device_put per slot).
+                    batch_slots: list = [None] * b
+                    mask = np.zeros((b,), bool)
+                    for slot, item in refills:
+                        batch_slots[slot] = item
+                        mask[slot] = True
+                    state = _select_slots(
+                        state,
+                        jnp.asarray(mask),
+                        build_block_state(batch_slots, b),
+                    )
             pt["evict"] += _time.perf_counter() - _t0
             if not keep.all():
                 state = _mask_alive(state, jnp.asarray(keep))
