@@ -94,46 +94,6 @@ def _jitted_programs(
     return jax.jit(iteration), jax.jit(make_run_until_evict(iteration, cap))
 
 
-@lru_cache(maxsize=64)
-def _gen_random_block(modes: tuple, r: int, dtype_str: str):
-    """Jitted batched generator for ``RandomKtensorSpec`` intake: the whole
-    block's random initial factors are born on device from a [B] seed array
-    (nothing but seeds crosses the host->device link). Per-column keying
-    (see ktensor._spec_columns) makes each slot bitwise-equal to
-    ``spec_to_ktensor`` of that model's spec, independent of bucket padding:
-    columns >= the model's true rank are zeroed BEFORE normalization, so
-    they stay inert with lam = 0 exactly like ``pad_rank``."""
-    dtype = jnp.dtype(dtype_str)
-
-    def one(seed, rmask):
-        key = jax.random.PRNGKey(seed)
-        factors = []
-        lam = jnp.ones((r,), dtype)
-        for n, m in enumerate(modes):
-            f = _spec_columns(key, n, m, r, dtype)
-            f = jnp.where(rmask[None, :], f, 0.0)
-            coeff = jnp.linalg.norm(f, axis=0)
-            safe = jnp.where(coeff != 0, coeff, 1.0)
-            factors.append(f / safe)
-            lam = lam * coeff
-        return Ktensor(tuple(factors), lam)
-
-    return jax.jit(jax.vmap(one))
-
-
-@jax.jit
-def _scatter_explicit(kt_gen: Ktensor, kt_up: Ktensor, spec_mask: Array):
-    """Overlay uploaded explicit models onto a generated block (mixed
-    explicit/spec intake)."""
-    return jax.tree.map(
-        lambda g, u: jnp.where(
-            spec_mask.reshape((-1,) + (1,) * (g.ndim - 1)), g, u
-        ),
-        kt_gen,
-        kt_up,
-    )
-
-
 def _queue_dtype(queue):
     from ..config import default_dtype
 
@@ -144,37 +104,6 @@ def _queue_dtype(queue):
         else:
             return kt.lam.dtype
     return default_dtype()
-
-
-@lru_cache(maxsize=64)
-def _packed_intake(shapes: tuple, b: int, dtype_str: str):
-    """Jitted splitter+tiler for single-transfer intake: the host
-    concatenates the block's UNIQUE models' factor stacks + lambdas + a
-    bitcast slot->unique index map into ONE flat array (one upload call
-    instead of N — each host->device call pays ~60 ms fixed cost on
-    tunneled backends) and this program slices/reshapes/gathers it back
-    into [B, ...] block arrays on device. Deduplication matters for
-    jackknife intake, where every replicate of a model shares the same
-    factors (reference utils.cpp:40-51): B replicates upload ONE copy.
-    """
-    dtype = jnp.dtype(dtype_str)
-    int_t = {2: jnp.int16, 4: jnp.int32, 8: jnp.int64}[dtype.itemsize]
-    sizes = [int(np.prod(s)) for s in shapes]
-    offs = np.cumsum([0] + sizes)
-    total = int(offs[-1])
-
-    @jax.jit
-    def unpack(flat):
-        idx = jax.lax.bitcast_convert_type(
-            jax.lax.slice(flat, (total,), (total + b,)), int_t
-        ).astype(jnp.int32)
-        return tuple(
-            jax.lax.slice(flat, (int(offs[i]),), (int(offs[i + 1]),))
-            .reshape(shapes[i])[idx]
-            for i in range(len(shapes))
-        )
-
-    return unpack
 
 
 def bucket_rank(rank: int, bucket_ranks: Sequence[int]) -> int:
@@ -198,6 +127,132 @@ def _select_slots(state: SolverState, mask: Array, block: SolverState):
     from .state import tree_where
 
     return tree_where(mask, block, state)
+
+
+@lru_cache(maxsize=128)
+def _block_builder(
+    modes: tuple,
+    r: int,
+    bb: int,
+    part_shapes: tuple | None,
+    dtype_str: str,
+    nnls: bool,
+    line_search: bool,
+    with_specs: bool,
+    with_select: bool,
+):
+    """ONE jitted program for a whole block intake or refill round.
+
+    Fuses unpack-uploaded-models + generate-spec-randoms + overlay +
+    ``init_state`` (gramians, zeros, line-search carry) + alive mask +
+    (for refills) the masked select into the live state. The unfused
+    chain executed ~10 eager device ops per intake — each a separate
+    remote compile and a ~35 ms dispatch round trip on tunneled
+    backends — and the 3 eager gramian einsums were full device programs.
+    Inputs are TWO packed host arrays (one fp pack: unique factor stacks
+    + bitcast slot->unique map + per-model norms; one int32 meta pack:
+    seeds/jk/alive/spec/rank masks), so an intake costs 2 uploads + 1
+    dispatch (MultiKtensor::add analog, src/multi_ktensor.cpp:41-130).
+
+    Statics: ``part_shapes`` is None when no explicit models are in the
+    block (pure spec intake — e.g. the bench/driver random queues);
+    ``with_specs`` is False when every slot is an explicit model (e.g.
+    jackknife replicate intake). Shapes are pow2-padded by the caller so
+    refill rounds of varying width reuse one program.
+    """
+    from .state import init_state as _init_state
+    from .state import tree_where
+
+    dtype = jnp.dtype(dtype_str)
+    int_t = {2: jnp.int16, 4: jnp.int32, 8: jnp.int64}[dtype.itemsize]
+    sizes = [int(np.prod(s)) for s in part_shapes] if part_shapes else []
+    offs = np.cumsum([0] + sizes)
+    total = int(offs[-1])
+
+    def build(flat, meta, *rest):
+        pos = [0]
+
+        def take(n):
+            s = jax.lax.slice(meta, (pos[0],), (pos[0] + n,))
+            pos[0] += n
+            return s
+
+        seeds = jax.lax.bitcast_convert_type(take(bb), jnp.uint32)
+        jk_arr = take(bb)
+        alive = take(bb).astype(bool)
+        spec_mask = take(bb).astype(bool)
+        rank_mask = take(bb * r).reshape(bb, r).astype(bool)
+        kt_up = None
+        if part_shapes is not None:
+            idx = jax.lax.bitcast_convert_type(
+                jax.lax.slice(flat, (total,), (total + bb,)), int_t
+            ).astype(jnp.int32)
+            dev = tuple(
+                jax.lax.slice(flat, (int(offs[i]),), (int(offs[i + 1]),))
+                .reshape(part_shapes[i])[idx]
+                for i in range(len(part_shapes))
+            )
+            kt_up = Ktensor(tuple(dev[:-1]), dev[-1])
+            xnm = jax.lax.slice(flat, (total + bb,), (total + 2 * bb,))
+        else:
+            xnm = jax.lax.slice(flat, (0,), (bb,))
+        if with_specs or kt_up is None:
+            # RandomKtensorSpec slots: factors are born on device from the
+            # seed. Per-column keying (ktensor._spec_columns) makes each
+            # slot bitwise-equal to ``spec_to_ktensor`` of that model's
+            # spec, independent of bucket padding: columns >= the true
+            # rank are zeroed BEFORE normalization, so they stay inert
+            # with lam = 0 exactly like ``pad_rank``.
+            def one(seed, rmask):
+                key = jax.random.PRNGKey(seed)
+                factors = []
+                lam = jnp.ones((r,), dtype)
+                for n, m in enumerate(modes):
+                    f = _spec_columns(key, n, m, r, dtype)
+                    f = jnp.where(rmask[None, :], f, 0.0)
+                    coeff = jnp.linalg.norm(f, axis=0)
+                    safe = jnp.where(coeff != 0, coeff, 1.0)
+                    factors.append(f / safe)
+                    lam = lam * coeff
+                return Ktensor(tuple(factors), lam)
+
+            kt_gen = jax.vmap(one)(seeds, rank_mask)
+            if kt_up is None:
+                kt_b = kt_gen
+            else:
+                kt_b = jax.tree.map(
+                    lambda g, u: jnp.where(
+                        spec_mask.reshape((-1,) + (1,) * (g.ndim - 1)), g, u
+                    ),
+                    kt_gen,
+                    kt_up,
+                )
+        else:
+            kt_b = kt_up
+        st = _init_state(
+            kt_b,
+            xnm,  # unused: x_norm_model below overrides the broadcast
+            nnls=nnls,
+            line_search=line_search,
+            jk_fiber=jk_arr,
+            x_norm_model=xnm,
+            rank_mask=rank_mask,
+        )
+        st = st._replace(alive=alive)
+        if with_select:
+            prev, sel = rest
+            st = tree_where(sel, st, prev)
+        return st
+
+    return jax.jit(build)
+
+
+@jax.jit
+def _gather_kt(kt: Ktensor, idx: Array) -> Ktensor:
+    """Gather evicted slots' factors in ONE device program (the eager
+    per-leaf fancy-index alternative compiled ~10 tiny programs per
+    distinct eviction width and paid a dispatch round trip each)."""
+    return jax.tree.map(lambda leaf: leaf[idx], kt)
 
 
 def _slice_slot(tree, slot: int):
@@ -590,23 +645,26 @@ def cp_cals(
         )
         slot_meta: list[tuple[int, int, int] | None] = [None] * b  # (id, rank, jk)
 
-        def build_block_state(batch_slots, bb):
+        def build_block_state(batch_slots, bb, select_into=None):
             """Build a [bb]-wide SolverState from per-slot intake items
             (``(id, ktensor_or_spec, jk_fiber)`` or None for a dead slot)
-            in ONE host pack + upload + O(1) device programs — used for
-            both the initial block intake and batched refills (the
+            in ONE host pack + 2 uploads + ONE fused device program — used
+            for both the initial block intake and batched refills (the
             per-slot alternative costs several device round trips per
             model; MultiKtensor::add analog, src/multi_ktensor.cpp:41-130).
-            Dead slots carry arbitrary factor values but rank_mask all
-            False and alive False; callers mask them out."""
+            ``select_into=(state, mask)`` fuses the refill select into the
+            same program. Dead slots carry arbitrary factor values but
+            rank_mask all False and alive False; callers mask them out."""
             np_dtype = np.dtype(str(jnp.dtype(dtype)))
             spec_mask_h = np.zeros((bb,), bool)
             seeds = np.zeros((bb,), np.uint32)
             rank_mask = np.zeros((bb, r), bool)
+            alive_h = np.zeros((bb,), bool)
             for slot, item in enumerate(batch_slots):
                 if item is None:
                     continue
                 kt = item[1]
+                alive_h[slot] = True
                 rank_mask[slot, : kt.rank] = True
                 if isinstance(kt, RandomKtensorSpec):
                     spec_mask_h[slot] = True
@@ -616,7 +674,16 @@ def cp_cals(
                 and not isinstance(item[1], RandomKtensorSpec)
                 for item in batch_slots
             )
-            kt_b = None
+            jk_arr = np.full((bb,), -1, np.int32)
+            xnm = np.full((bb,), x_norm_f, np_dtype)
+            for slot, item in enumerate(batch_slots):
+                if item is None:
+                    continue
+                jk = item[2]
+                jk_arr[slot] = jk
+                if jk >= 0:
+                    xnm[slot] = float(x_norms_jk[jk])
+            part_shapes = None
             if have_exp:
                 # Dedup by object identity: jackknife queues repeat one
                 # fitted model per fiber, so only unique models upload.
@@ -648,50 +715,41 @@ def cp_cals(
                         f_dst[u, :, :rk] = np.asarray(f_src)
                     lam_stack[u, :rk] = np.asarray(kt.lam)
                 parts = stacked + [lam_stack]
+                part_shapes = tuple(tuple(p.shape) for p in parts)
                 idx_wire = uidx.astype(
                     {2: np.int16, 4: np.int32, 8: np.int64}[
                         np_dtype.itemsize
                     ]
                 ).view(np_dtype)
                 flat = np.concatenate(
-                    [p.reshape(-1) for p in parts] + [idx_wire]
+                    [p.reshape(-1) for p in parts] + [idx_wire, xnm]
                 )
-                dev = _packed_intake(
-                    tuple(tuple(p.shape) for p in parts), bb, str(np_dtype)
-                )(jnp.asarray(flat))
-                kt_b = Ktensor(tuple(dev[:-1]), dev[-1])
-            if spec_mask_h.any() or kt_b is None:
-                kt_gen = _gen_random_block(x.shape, r, str(np_dtype))(
-                    jnp.asarray(seeds), jnp.asarray(rank_mask)
-                )
-                kt_b = (
-                    kt_gen
-                    if kt_b is None
-                    else _scatter_explicit(
-                        kt_gen, kt_b, jnp.asarray(spec_mask_h)
-                    )
-                )
-            jk_arr = np.full((bb,), -1, np.int32)
-            xnm = np.full((bb,), x_norm_f, dtype)
-            for slot, item in enumerate(batch_slots):
-                if item is None:
-                    continue
-                jk = item[2]
-                jk_arr[slot] = jk
-                if jk >= 0:
-                    xnm[slot] = float(x_norms_jk[jk])
-            new_state = init_state(
-                kt_b,
-                x_norm,
-                nnls=nnls,
-                line_search=params.line_search,
-                jk_fiber=jnp.asarray(jk_arr),
-                x_norm_model=jnp.asarray(xnm),
-                rank_mask=jnp.asarray(rank_mask),
+            else:
+                flat = xnm
+            meta = np.concatenate(
+                [
+                    seeds.view(np.int32),
+                    jk_arr,
+                    alive_h.astype(np.int32),
+                    spec_mask_h.astype(np.int32),
+                    rank_mask.astype(np.int32).reshape(-1),
+                ]
             )
-            new_state = new_state._replace(
-                alive=jnp.asarray([m is not None for m in batch_slots])
+            builder = _block_builder(
+                x.shape,
+                r,
+                bb,
+                part_shapes,
+                str(np_dtype),
+                nnls,
+                params.line_search,
+                bool(spec_mask_h.any()),
+                select_into is not None and mesh is None,
             )
+            if select_into is not None and mesh is None:
+                prev, sel = select_into
+                return builder(flat, meta, prev, jnp.asarray(sel))
+            new_state = builder(flat, meta)
             if mesh is not None:
                 from ..parallel.sharding import state_pspecs, to_shardings
 
@@ -701,6 +759,11 @@ def cp_cals(
                         mesh, state_pspecs(new_state, shard_mode0, mesh)
                     ),
                 )
+                if select_into is not None:
+                    prev, sel = select_into
+                    new_state = _select_slots(
+                        prev, jnp.asarray(sel), new_state
+                    )
             return new_state
 
         # ------------------------------------------------- checkpoint setup
@@ -903,8 +966,8 @@ def cp_cals(
                 err_h = stats[3]
                 # Exact-size gather: transfer bandwidth dominates over
                 # compile-per-length here (lengths repeat across blocks).
-                kt_ev = jax.tree.map(
-                    lambda l: l[jnp.asarray(evicted, jnp.int32)], state.kt
+                kt_ev = _gather_kt(
+                    state.kt, np.asarray(evicted, np.int32)
                 )
                 for leaf in jax.tree.leaves(kt_ev):
                     try:
@@ -968,10 +1031,8 @@ def cp_cals(
                     for slot, item in refills:
                         batch_slots[slot] = item
                         mask[slot] = True
-                    state = _select_slots(
-                        state,
-                        jnp.asarray(mask),
-                        build_block_state(batch_slots, b),
+                    state = build_block_state(
+                        batch_slots, b, select_into=(state, mask)
                     )
             pt["evict"] += _time.perf_counter() - _t0
             if not keep.all():
@@ -1000,7 +1061,7 @@ def cp_cals(
                 live_idx = [s for s in range(b) if slot_meta[s] is not None]
                 pad_idx = [s for s in range(b) if slot_meta[s] is None]
                 idx = live_idx + pad_idx[: b // 2 - len(live_idx)]
-                state = _gather_slots(state, jnp.asarray(idx, jnp.int32))
+                state = _gather_slots(state, np.asarray(idx, np.int32))
                 slot_meta = [slot_meta[s] for s in idx]
                 b //= 2
                 n_compactions += 1
