@@ -82,16 +82,32 @@ def _jitted_programs(
     """One jitted (step, run_until_evict) pair per static config — reused
     across cp_cals calls so repeated runs don't retrace. ``traced`` builds
     the run_until_evict variant that records per-iteration device counters
-    (active models/columns) into a buffer."""
+    (active models/columns) into a buffer. Both programs also return the
+    packed eviction-stats row the host scan fetches (folded in so it isn't
+    a separate compiled program + dispatch per round)."""
     iteration = make_iteration(
         params, batched=True, mttkrp_methods=methods, has_jk=has_jk
     )
     cap = params.max_iterations if traced else 0
+    run = make_run_until_evict(iteration, cap)
+
+    def step_stats(x, state, x_norm):
+        out = iteration(x, state, x_norm)
+        return out, _pack_evict_stats(out)
+
+    def run_stats(x, state, x_norm):
+        out = run(x, state, x_norm)
+        # (out is (state, tracebuf, k) in traced mode, a bare SolverState
+        # otherwise — SolverState is a NamedTuple, so test traced, not
+        # isinstance(tuple).)
+        st = out[0] if traced else out
+        return out, _pack_evict_stats(st)
+
     # NOTE: state donation (donate_argnums=(1,)) is NOT safe here — the
     # state pytree aliases leaves at rest (ls.prev/ls.backup start as the
     # same buffers as kt; fresh slot states share zeros), and XLA rejects
     # donating one buffer twice.
-    return jax.jit(iteration), jax.jit(make_run_until_evict(iteration, cap))
+    return jax.jit(step_stats), jax.jit(run_stats)
 
 
 def _queue_dtype(queue):
@@ -264,12 +280,12 @@ def _mask_alive(state: SolverState, keep: Array) -> SolverState:
     return state._replace(alive=state.alive & keep)
 
 
-@jax.jit
-def _evict_stats(state: SolverState) -> Array:
+def _pack_evict_stats(state: SolverState) -> Array:
     """Pack everything the host eviction scan reads into ONE array so it
     costs ONE device->host round trip (each fetch pays 30-40 ms dispatch+
     transfer latency on tunneled devices; four separate fetches per
-    eviction round were a measurable fraction of the bench wall).
+    eviction round were a measurable fraction of the bench wall). Fused
+    into the step/run programs by _jitted_programs.
     Row 0: converged&alive, 1: iters, 2: fit, 3: approx_error — all in the
     state's float dtype (iters < 2^24 are exact; bool is exact)."""
     dt = state.fit.dtype
@@ -484,30 +500,44 @@ def precompile_buckets(
         else:
             methods = None
         step, run_until_evict = _jitted_programs(params, methods, False, has_jk)
-        factors = tuple(jnp.zeros((b, m, r), dtype) for m in x.shape)
-        kt = Ktensor(factors, jnp.zeros((b, r), dtype))
         # Warm-up state that terminates after ONE real iteration: an
         # all-False rank_mask gives an identity normal matrix (no NaN
         # Cholesky) and fit pinned at 0, and iters = max_iterations - 1
         # makes the very first iteration trip the eviction condition even
         # under force_max_iter — so this compiles the exact production
-        # program without burning max_iterations of device time.
-        state = init_state(
-            kt,
-            jnp.asarray(1.0, dtype),
-            nnls=params.update_method == UpdateMethod.NNLS,
-            line_search=params.line_search,
-            rank_mask=jnp.zeros((b, r), bool),
-            alive=True,
+        # program without burning max_iterations of device time. Built
+        # through _block_builder (all-spec slots with empty rank masks →
+        # zero factors) so the production intake program is warmed too.
+        np_dtype = np.dtype(str(jnp.dtype(dtype)))
+        meta = np.concatenate(
+            [
+                np.zeros((b,), np.int32),  # seeds
+                np.full((b,), -1, np.int32),  # jk
+                np.ones((b,), np.int32),  # alive
+                np.ones((b,), np.int32),  # spec mask
+                np.zeros((b * r,), np.int32),  # rank mask
+            ]
         )
+        builder = _block_builder(
+            x.shape,
+            r,
+            b,
+            None,
+            str(np_dtype),
+            params.update_method == UpdateMethod.NNLS,
+            params.line_search,
+            True,
+            False,
+        )
+        state = builder(np.ones((b,), np_dtype), meta)
         state = state._replace(
             iters=jnp.full((b,), params.max_iterations - 1, jnp.int32)
         )
         if params.sync_mode == "evict" and not params.always_evict_first:
-            out = run_until_evict(x, state, jnp.asarray(1.0, dtype))
+            _, stats = run_until_evict(x, state, jnp.asarray(1.0, dtype))
         else:
-            out = step(x, state, jnp.asarray(1.0, dtype))
-        _fetch(_evict_stats(out))  # sync + warm the stats packer too
+            _, stats = step(x, state, jnp.asarray(1.0, dtype))
+        _fetch(stats)  # sync (stats packing is fused into the programs)
 
     jobs = [(r, b) for wave in waves for r, b in wave.items()]
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
@@ -890,14 +920,15 @@ def cp_cals(
         while any(m is not None for m in slot_meta):
             _t0 = _time.perf_counter()
             if use_blocks:
+                out, stats_d = run_until_evict(x, state, x_norm)
                 if traced:
-                    state, tbuf, tk = run_until_evict(x, state, x_norm)
+                    state, tbuf, tk = out
                 else:
-                    state = run_until_evict(x, state, x_norm)
+                    state = out
             else:
-                state = step(x, state, x_norm)
+                state, stats_d = step(x, state, x_norm)
                 engine_iters += 1
-            stats = _fetch(_evict_stats(state))
+            stats = _fetch(stats_d)
             conv = stats[0] != 0
             dt_solve = _time.perf_counter() - _t0
             pt["solve"] += dt_solve
