@@ -534,9 +534,17 @@ def precompile_buckets(
             iters=jnp.full((b,), params.max_iterations - 1, jnp.int32)
         )
         if params.sync_mode == "evict" and not params.always_evict_first:
-            _, stats = run_until_evict(x, state, jnp.asarray(1.0, dtype))
+            out, stats = run_until_evict(x, state, jnp.asarray(1.0, dtype))
         else:
-            _, stats = step(x, state, jnp.asarray(1.0, dtype))
+            out, stats = step(x, state, jnp.asarray(1.0, dtype))
+        # Warm the small per-bucket-shape programs the engine loop uses
+        # (each costs a 1-4 s remote-compile round trip if left to compile
+        # serially on first dispatch): full-block eviction gather, the
+        # drain-path alive mask, and the tail-compaction repack.
+        _gather_kt(out.kt, np.arange(b, dtype=np.int32))
+        _mask_alive(out, np.ones((b,), bool))
+        if params.tail_compaction_depth > 0 and b > 1:
+            _gather_slots(out, np.arange(b // 2, dtype=np.int32))
         _fetch(stats)  # sync (stats packing is fused into the programs)
 
     jobs = [(r, b) for wave in waves for r, b in wave.items()]
