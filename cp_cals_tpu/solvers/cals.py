@@ -280,6 +280,28 @@ def _mask_alive(state: SolverState, keep: Array) -> SolverState:
     return state._replace(alive=state.alive & keep)
 
 
+@lru_cache(maxsize=16)
+def _norms_program(dtype_str: str, with_jk: bool):
+    """One jitted program for the run's norm prologue: ‖X‖ (+ the per-fiber
+    leave-one-out norms for jackknife runs, packed into the same output so
+    the host pays ONE fetch). The eager alternative was 3-4 separate
+    compiled programs (ravel/convert/norm/multiply) and two fetches."""
+    dtype = jnp.dtype(dtype_str)
+
+    @jax.jit
+    def go(x):
+        xn = jnp.linalg.norm(
+            x.ravel().astype(jnp.result_type(dtype, jnp.float32))
+        ).astype(dtype)
+        if not with_jk:
+            return xn
+        from .jackknife import jackknife_norms
+
+        return jnp.concatenate([xn[None], jackknife_norms(x).astype(dtype)])
+
+    return go
+
+
 def _pack_evict_stats(state: SolverState) -> Array:
     """Pack everything the host eviction scan reads into ONE array so it
     costs ONE device->host round trip (each fetch pays 30-40 ms dispatch+
@@ -603,24 +625,27 @@ def cp_cals(
             x, NamedSharding(mesh, tensor_pspec(x, shard_mode0, mesh))
         )
     dtype = _queue_dtype(queue)
-    x_norm = jnp.linalg.norm(x.ravel().astype(jnp.result_type(dtype, jnp.float32)))
-    x_norm = x_norm.astype(dtype)
-    # One scalar fetch per run: intakes/refills embed the norm in their
-    # host-packed x_norm_model arrays, and fetching it per block would pay
-    # a ~30 ms round trip each on tunneled backends.
-    x_norm_f = float(x_norm)
     if jk_fibers is None:
         jk_fibers = [-1] * len(queue)
     has_jk = any(f >= 0 for f in jk_fibers)
-    if has_jk and x_norms_jk is None:
-        from .jackknife import jackknife_norms
-
-        x_norms_jk = jackknife_norms(x)
+    need_jk_norms = has_jk and x_norms_jk is None
+    # ONE program + ONE fetch for the norm prologue: intakes/refills embed
+    # the norms in their host-packed x_norm_model arrays, and fetching a
+    # scalar per block (or per jackknife slot — measured: 299 replicates
+    # once spent 18 s of "setup" on exactly that) pays a ~30-60 ms round
+    # trip each on tunneled backends.
+    packed = _norms_program(str(jnp.dtype(dtype)), need_jk_norms)(x)
+    if need_jk_norms:
+        packed_h = _fetch(packed)
+        x_norm_f = float(packed_h[0])
+        x_norms_jk = packed_h[1:]
+        # Rebuild the device scalar from the host value (exact float32
+        # round trip) rather than slicing packed[0] eagerly on device.
+        x_norm = jnp.asarray(x_norm_f, dtype)
+    else:
+        x_norm = packed
+        x_norm_f = float(_fetch(x_norm))
     if x_norms_jk is not None:
-        # One bulk fetch: the intake reads one scalar per jackknife slot,
-        # and indexing a device array per slot costs a ~30-60 ms round trip
-        # EACH on tunneled backends (measured: 299 replicates spent 18 s of
-        # "setup" on exactly this).
         x_norms_jk = np.asarray(x_norms_jk)
 
     nnls = params.update_method == UpdateMethod.NNLS
