@@ -129,7 +129,12 @@ def cp_batched_als(
     if isinstance(kts, Ktensor):
         kt_b = kts
     else:
-        kt_b = jax.tree.map(lambda *fs: jnp.stack(fs), *kts)
+        # Stack under ONE jit: the eager jnp.stack tree compiled ~7 tiny
+        # concat/broadcast programs and dispatched each separately (1-4 s
+        # remote compile + ~35 ms dispatch apiece on tunneled backends).
+        kt_b = jax.jit(lambda ks: jax.tree.map(lambda *fs: jnp.stack(fs), *ks))(
+            tuple(kts)
+        )
     final = _run_vmap_als(x, kt_b, params, params.max_iterations)
     b = final.iters.shape[0]
     # Bulk host fetch ONCE: per-model device indexing (`final.fit[i]`) costs
