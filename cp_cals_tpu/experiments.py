@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import jax
@@ -241,7 +242,8 @@ def main(argv=None):
                         "(reference paper 6.3 uses constrained updates)")
     p.add_argument("--large", action="store_true",
                    help="include the 300^3 size (the reference's full §6.1 "
-                        "grid is 100/200/300^3, experiments.cpp:58-150)")
+                        "grid is 100/200/300^3, experiments.cpp:58-150); "
+                        "ignored with --quick")
     args = p.parse_args(argv)
 
     from .config import AlsParams, CalsParams
@@ -256,8 +258,11 @@ def main(argv=None):
     sizes = [(50, 50, 50)] if args.quick else [(100, 100, 100), (200, 200, 200)]
     if args.no_base:
         sizes = []
-    if args.large and not args.quick:
-        sizes.append((300, 300, 300))
+    if args.large:
+        if args.quick:
+            print("--large ignored with --quick", file=sys.stderr)
+        else:
+            sizes.append((300, 300, 300))
     copies = 2 if args.quick else 20
     rmax = 3 if args.quick else 20
     for modes in sizes:

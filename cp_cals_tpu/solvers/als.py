@@ -118,6 +118,15 @@ def _run_vmap_als(x, kts: Ktensor, params: AlsParams, n_iters: int) -> SolverSta
     return jax.lax.while_loop(cond, body, state)
 
 
+@jax.jit
+def _stack_kts(kts: tuple) -> Ktensor:
+    """Stack same-rank models into one [B]-leading Ktensor under ONE jit
+    (eager per-leaf jnp.stack compiled ~7 tiny concat/broadcast programs
+    and dispatched each separately; module-level so repeat calls hit the
+    jit cache)."""
+    return jax.tree.map(lambda *fs: jnp.stack(fs), *kts)
+
+
 def cp_batched_als(
     x: Array, kts: Sequence[Ktensor] | Ktensor, params: AlsParams = AlsParams()
 ) -> tuple[list[Ktensor], list[AlsReport]]:
@@ -129,12 +138,7 @@ def cp_batched_als(
     if isinstance(kts, Ktensor):
         kt_b = kts
     else:
-        # Stack under ONE jit: the eager jnp.stack tree compiled ~7 tiny
-        # concat/broadcast programs and dispatched each separately (1-4 s
-        # remote compile + ~35 ms dispatch apiece on tunneled backends).
-        kt_b = jax.jit(lambda ks: jax.tree.map(lambda *fs: jnp.stack(fs), *ks))(
-            tuple(kts)
-        )
+        kt_b = _stack_kts(tuple(kts))
     final = _run_vmap_als(x, kt_b, params, params.max_iterations)
     b = final.iters.shape[0]
     # Bulk host fetch ONCE: per-model device indexing (`final.fit[i]`) costs

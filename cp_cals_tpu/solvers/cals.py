@@ -562,11 +562,27 @@ def precompile_buckets(
         # Warm the small per-bucket-shape programs the engine loop uses
         # (each costs a 1-4 s remote-compile round trip if left to compile
         # serially on first dispatch): full-block eviction gather, the
-        # drain-path alive mask, and the tail-compaction repack.
+        # drain-path alive mask, the tail-compaction repack, and the
+        # spec-queue batched-refill variant of the block builder
+        # (with_select=True — a distinct program from the intake one).
         _gather_kt(out.kt, np.arange(b, dtype=np.int32))
         _mask_alive(out, np.ones((b,), bool))
         if params.tail_compaction_depth > 0 and b > 1:
             _gather_slots(out, np.arange(b // 2, dtype=np.int32))
+        refill_builder = _block_builder(
+            x.shape,
+            r,
+            b,
+            None,
+            str(np_dtype),
+            params.update_method == UpdateMethod.NNLS,
+            params.line_search,
+            True,
+            True,
+        )
+        refill_builder(
+            np.ones((b,), np_dtype), meta, out, np.zeros((b,), bool)
+        )
         _fetch(stats)  # sync (stats packing is fused into the programs)
 
     jobs = [(r, b) for wave in waves for r, b in wave.items()]
