@@ -43,7 +43,7 @@ from ..ktensor import (
     _spec_columns,
 )
 from .iteration import make_iteration
-from .state import SolverState, init_state
+from .state import SolverState, init_state, tree_where
 
 Array = jax.Array
 
@@ -140,9 +140,23 @@ def _select_slots(state: SolverState, mask: Array, block: SolverState):
     refill: one program regardless of how many slots refill; analog of
     MultiKtensor::add, src/multi_ktensor.cpp:41-130 — attach + gramian
     init + registry insert)."""
-    from .state import tree_where
-
     return tree_where(mask, block, state)
+
+
+def _pack_meta(seeds, jk_arr, alive, spec_mask, rank_mask) -> np.ndarray:
+    """Build the int32 meta pack `_block_builder` consumes — the single
+    source of truth for its field order (must match the ``take()`` sequence
+    in ``build``): seeds (uint32 bit view), jk fibers, alive, spec mask,
+    flattened rank mask."""
+    return np.concatenate(
+        [
+            np.ascontiguousarray(seeds).view(np.int32),
+            np.asarray(jk_arr, np.int32),
+            np.asarray(alive, np.int32),
+            np.asarray(spec_mask, np.int32),
+            np.asarray(rank_mask, np.int32).reshape(-1),
+        ]
+    )
 
 
 @lru_cache(maxsize=128)
@@ -176,9 +190,6 @@ def _block_builder(
     jackknife replicate intake). Shapes are pow2-padded by the caller so
     refill rounds of varying width reuse one program.
     """
-    from .state import init_state as _init_state
-    from .state import tree_where
-
     dtype = jnp.dtype(dtype_str)
     int_t = {2: jnp.int16, 4: jnp.int32, 8: jnp.int64}[dtype.itemsize]
     sizes = [int(np.prod(s)) for s in part_shapes] if part_shapes else []
@@ -245,7 +256,7 @@ def _block_builder(
                 )
         else:
             kt_b = kt_up
-        st = _init_state(
+        st = init_state(
             kt_b,
             xnm,  # unused: x_norm_model below overrides the broadcast
             nnls=nnls,
@@ -308,9 +319,10 @@ def _pack_evict_stats(state: SolverState) -> Array:
     transfer latency on tunneled devices; four separate fetches per
     eviction round were a measurable fraction of the bench wall). Fused
     into the step/run programs by _jitted_programs.
-    Row 0: converged&alive, 1: iters, 2: fit, 3: approx_error — all in the
-    state's float dtype (iters < 2^24 are exact; bool is exact)."""
-    dt = state.fit.dtype
+    Row 0: converged&alive, 1: iters, 2: fit, 3: approx_error — in the
+    state's float dtype widened to at least float32 (iters < 2^24 stay
+    exact even for bfloat16/float16 states; bool is exact)."""
+    dt = jnp.result_type(state.fit.dtype, jnp.float32)
     return jnp.stack(
         [
             (state.converged & state.alive).astype(dt),
@@ -531,27 +543,22 @@ def precompile_buckets(
         # through _block_builder (all-spec slots with empty rank masks →
         # zero factors) so the production intake program is warmed too.
         np_dtype = np.dtype(str(jnp.dtype(dtype)))
-        meta = np.concatenate(
-            [
-                np.zeros((b,), np.int32),  # seeds
-                np.full((b,), -1, np.int32),  # jk
-                np.ones((b,), np.int32),  # alive
-                np.ones((b,), np.int32),  # spec mask
-                np.zeros((b * r,), np.int32),  # rank mask
-            ]
+        meta = _pack_meta(
+            np.zeros((b,), np.uint32),  # seeds
+            np.full((b,), -1, np.int32),  # jk
+            np.ones((b,), np.int32),  # alive
+            np.ones((b,), np.int32),  # spec mask
+            np.zeros((b, r), np.int32),  # rank mask
         )
-        builder = _block_builder(
-            x.shape,
-            r,
-            b,
-            None,
-            str(np_dtype),
-            params.update_method == UpdateMethod.NNLS,
-            params.line_search,
-            True,
-            False,
-        )
-        state = builder(np.ones((b,), np_dtype), meta)
+        nnls = params.update_method == UpdateMethod.NNLS
+
+        def builder_for(part_shapes, with_specs, with_select):
+            return _block_builder(
+                x.shape, r, b, part_shapes, str(np_dtype), nnls,
+                params.line_search, with_specs, with_select,
+            )
+
+        state = builder_for(None, True, False)(np.ones((b,), np_dtype), meta)
         state = state._replace(
             iters=jnp.full((b,), params.max_iterations - 1, jnp.int32)
         )
@@ -569,25 +576,37 @@ def precompile_buckets(
         _mask_alive(out, np.ones((b,), bool))
         if params.tail_compaction_depth > 0 and b > 1:
             _gather_slots(out, np.arange(b // 2, dtype=np.int32))
-        refill_builder = _block_builder(
-            x.shape,
-            r,
-            b,
-            None,
-            str(np_dtype),
-            params.update_method == UpdateMethod.NNLS,
-            params.line_search,
-            True,
-            True,
-        )
-        refill_builder(
+        builder_for(None, True, True)(
             np.ones((b,), np_dtype), meta, out, np.zeros((b,), bool)
         )
+        if has_explicit:
+            # Explicit-model intake/refill programs (the jackknife flagship
+            # path: B replicates of ONE fitted model dedup to n_u = 1).
+            shapes = tuple((1, m, r) for m in x.shape) + ((1, r),)
+            n_flat = sum(int(np.prod(s)) for s in shapes) + 2 * b
+            flat = np.zeros((n_flat,), np_dtype)
+            builder_for(shapes, False, False)(flat, meta)
+            builder_for(shapes, False, True)(
+                flat, meta, out, np.zeros((b,), bool)
+            )
         _fetch(stats)  # sync (stats packing is fused into the programs)
 
+    has_explicit = any(
+        not isinstance(kt, RandomKtensorSpec) for kt in queue
+    )
     jobs = [(r, b) for wave in waves for r, b in wave.items()]
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
-        list(ex.map(lambda rb: compile_one(*rb), jobs))
+        futs = [ex.submit(compile_one, r, b) for r, b in jobs]
+        # The norm prologue is also one unwarmed program otherwise.
+        futs.append(
+            ex.submit(
+                lambda: _fetch(
+                    _norms_program(str(jnp.dtype(dtype)), has_jk)(x)
+                )
+            )
+        )
+        for f in futs:
+            f.result()
 
 
 def cp_cals(
@@ -700,9 +719,9 @@ def cp_cals(
 
     # 4 streams: measured on the tunneled backend, device->host bandwidth
     # aggregates ~21 -> ~55 MB/s from 1 to 4 parallel fetches and saturates.
-    # Multi-process runs serialize fetches (1 worker): _fetch is a collective
-    # and every process must issue the same sequence in the same order.
-    mat_pool = _cf.ThreadPoolExecutor(1 if jax.process_count() > 1 else 4)
+    # Multi-process runs never submit here (collective _fetch must stay on
+    # the main thread, in program order — see the `defer` gate below).
+    mat_pool = _cf.ThreadPoolExecutor(4)
 
     def run_bucket(r, dq, b):
         """One bucket's full solve at its budget-allocated batch size ``b``.
@@ -805,15 +824,7 @@ def cp_cals(
                 )
             else:
                 flat = xnm
-            meta = np.concatenate(
-                [
-                    seeds.view(np.int32),
-                    jk_arr,
-                    alive_h.astype(np.int32),
-                    spec_mask_h.astype(np.int32),
-                    rank_mask.astype(np.int32).reshape(-1),
-                ]
-            )
+            meta = _pack_meta(seeds, jk_arr, alive_h, spec_mask_h, rank_mask)
             builder = _block_builder(
                 x.shape,
                 r,
@@ -1055,7 +1066,14 @@ def cp_cals(
                     except Exception:
                         pass
                 block_models = []
-                if checkpoint_dir is None:
+                # Deferred pool materialization is single-process only:
+                # under jax.distributed every _fetch is a process_allgather
+                # COLLECTIVE, and a pool thread's collective could interleave
+                # differently with the main loop's stats fetch on different
+                # processes (mismatched collective order -> hang). Multi-
+                # process runs materialize synchronously, in program order.
+                defer = checkpoint_dir is None and jax.process_count() == 1
+                if defer:
                     # One future PER LEAF (factor/lam): parallel fetch streams
                     # aggregate bandwidth on remote-attached backends, and a
                     # whole-pytree future would serialize the 4 copies.
@@ -1080,7 +1098,7 @@ def cp_cals(
                         approx_error=float(err_h[slot]),
                     )
                     local_models.append(rep_m)
-                    if checkpoint_dir is None:
+                    if defer:
                         block_models.append((pos, i, rank))
                     else:
                         local_done[i] = Ktensor(
@@ -1089,10 +1107,11 @@ def cp_cals(
                             ),
                             kt_np.lam[pos, :rank],
                         )
-                        bucket_done_meta.append(
-                            [i, rank, rep_m.iters, rep_m.fit,
-                             rep_m.approx_error]
-                        )
+                        if checkpoint_dir is not None:
+                            bucket_done_meta.append(
+                                [i, rank, rep_m.iters, rep_m.fit,
+                                 rep_m.approx_error]
+                            )
                     slot_meta[slot] = None
                     if dq:
                         item = dq.popleft()
