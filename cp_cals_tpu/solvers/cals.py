@@ -41,6 +41,7 @@ from ..ktensor import (
     Ktensor,
     RandomKtensorSpec,
     _spec_columns,
+    scale_jk_rows,
 )
 from .iteration import make_iteration
 from .state import SolverState, init_state, tree_where
@@ -256,6 +257,15 @@ def _block_builder(
                 )
         else:
             kt_b = kt_up
+        # Pre-zero each jackknife slot's left-out fiber row. The solver
+        # re-zeroes it after every mode-0 update anyway, and the initial
+        # mode-0 gramian is never consumed before that update — but the
+        # line-search snapshot CAN read the pristine factor (interval=1
+        # snapshots at iteration 1, before the first zeroing), which would
+        # leak the left-out sample into the extrapolation. No-op for
+        # jk_fiber = -1 slots.
+        f0 = scale_jk_rows(kt_b.factors[0], jk_arr, 0.0)
+        kt_b = Ktensor((f0,) + kt_b.factors[1:], kt_b.lam)
         st = init_state(
             kt_b,
             xnm,  # unused: x_norm_model below overrides the broadcast

@@ -197,9 +197,14 @@ def make_iteration(
 
         # ------------------------------------------------------ line search
         if params.line_search:
-            kt, grams, err, fit, old_fit, iters, ls = _line_search(
+            kt, grams, err, fit, old_fit, iters, ls, active = _line_search(
                 x, kt, grams, err, fit, old_fit, iters, ls, params, precision,
-                x_norm_full, state.x_norm_model,
+                x_norm_full, state.x_norm_model, active,
+                # Candidate evaluation reuses the tuned per-mode MTTKRP and
+                # the prepared (loop-invariant) tensor layout.
+                mttkrp_last=lambda factors: do_mttkrp(
+                    x, factors, n_modes - 1, prepared
+                ),
             )
 
         # ------------------------------------------------------ convergence
@@ -232,7 +237,7 @@ def make_iteration(
 
 def _line_search(
     x, kt, grams, err, fit, old_fit, iters, ls: LsState, params, precision,
-    x_norm_full, x_norm_model,
+    x_norm_full, x_norm_model, active=(), mttkrp_last=None,
 ):
     """Masked batched line search (reference line_search.cpp:228-283).
 
@@ -265,6 +270,10 @@ def _line_search(
         was_upd = ls.updated_last & do_ls
         revert = was_upd & (ls.backup_err < err)
         kt = tree_where(revert, ls.backup, kt)
+        # NNLS warm-start active sets revert with the factors (reference
+        # Ktensor::copy restores active_set, ktensor.cpp:163-181) — a
+        # rejected extrapolation must not leave its active sets behind.
+        active = tree_where(revert, ls.backup_active, active)
         err = jnp.where(revert, ls.backup_err, err)
         fit = jnp.where(revert, ls.backup_fit, fit)
         old_fit = jnp.where(revert, ls.backup_old_fit, old_fit)
@@ -277,6 +286,7 @@ def _line_search(
         it2 = jnp.where(extrap, 0, it2)
         updated_last = jnp.where(extrap, True, updated_last)
         backup = tree_where(extrap, kt, ls.backup)
+        backup_active = tree_where(extrap, active, ls.backup_active)
         backup_err = jnp.where(extrap, err, ls.backup_err)
         backup_fit = jnp.where(extrap, fit, ls.backup_fit)
         backup_old_fit = jnp.where(extrap, old_fit, ls.backup_old_fit)
@@ -316,8 +326,9 @@ def _line_search(
             backup_fit=backup_fit,
             backup_old_fit=backup_old_fit,
             backup_iters=backup_iters,
+            backup_active=backup_active,
         )
-        return kt, grams, err, fit, old_fit, iters, ls
+        return kt, grams, err, fit, old_fit, iters, ls, active
 
     # ERROR_CHECKING: extrapolate raw factors (lam carried over), measure the
     # exact error, accept only on improvement (line_search.cpp:86-153).
@@ -343,7 +354,9 @@ def _line_search(
         # so <X, X_hat> equals the LOO inner product and the LOO norm makes
         # the expansion exact) — matches the current `err` being compared
         # against (reference cals.cpp:295-301 + line_search.cpp:86-153).
-        new_err = _exact_error(x, cand_norm, x_norm_model, precision)
+        new_err = _exact_error(
+            x, cand_norm, x_norm_model, precision, mttkrp_last
+        )
         accept = extrap & (new_err < err)
         kt2 = tree_where(accept, cand_norm, kt)
         grams2 = tree_where(accept, gramians(kt2.factors, precision), grams)
@@ -361,10 +374,12 @@ def _line_search(
         kt, grams, err, fit, old_fit,
     )
     ls = ls._replace(it=it2)
-    return kt, grams, err, fit, old_fit, iters, ls
+    # ERROR_CHECKING keeps the NNLS active sets as-is on accept (the
+    # reference's accepted candidate carries the pre-extrapolation sets).
+    return kt, grams, err, fit, old_fit, iters, ls, active
 
 
-def _exact_error(x, kt: Ktensor, x_norm, precision) -> Array:
+def _exact_error(x, kt: Ktensor, x_norm, precision, mttkrp_last=None) -> Array:
     """Exact |X - full(kt)| per model WITHOUT reconstructing the tensor.
 
     ``x_norm`` is the per-model target norm — the full-tensor norm for
@@ -384,7 +399,12 @@ def _exact_error(x, kt: Ktensor, x_norm, precision) -> Array:
 
     last = x.ndim - 1
     batched = kt.lam.ndim > 1
-    if batched:
+    if mttkrp_last is not None:
+        # Caller-supplied tuned path (per-mode autotuned method + prepared
+        # loop-invariant layout) — avoids materializing a Khatri-Rao
+        # product when the tuner rejected krp_gemm for this tensor.
+        g_last = mttkrp_last(kt.factors)
+    elif batched:
         g_last = mttkrp_batched(x, kt.factors, last, "krp_gemm", precision)
     else:
         from ..ops.mttkrp import mttkrp

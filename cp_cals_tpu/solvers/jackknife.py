@@ -45,7 +45,11 @@ def jackknife_norms(x: Array) -> Array:
     x64 = x.astype(dt)
     row_sq = jnp.sum(x64 * x64, axis=tuple(range(1, x.ndim)))
     total = jnp.sum(row_sq)
-    return jnp.sqrt(total - row_sq).astype(x.dtype)
+    # Clamp the cancellation-prone difference: when one fiber holds nearly
+    # all the energy, fp32 rounding can drive it slightly negative and a
+    # NaN norm would poison the whole replicate (ops/error.py clamps its
+    # analogous expression the same way).
+    return jnp.sqrt(jnp.maximum(total - row_sq, 0.0)).astype(x.dtype)
 
 
 def generate_jk_ktensors(kt: Ktensor) -> list[tuple[Ktensor, int]]:
@@ -130,12 +134,10 @@ def jk_cp_cals(
     over replicates, the scaling axis of SURVEY §5.8."""
     import time
 
-    from ..ktensor import to_host
-
     t0 = time.perf_counter()
     # Renormalize, then pull to host once: each replicate references the
     # same host arrays, so bucket packing is a pure host copy.
-    fitted = [to_host(normalize_full(denormalize(kt))) for kt in fitted]
+    fitted = [to_host_model(kt) for kt in fitted]
     queue: list[Ktensor] = []
     fibers: list[int] = []
     spans: list[tuple[int, int]] = []
@@ -193,26 +195,30 @@ def jk_cp_batched_als(
 
     # One bucket per model at its exact rank = the task-parallel baseline
     # shape; reuse the concurrent engine with a single-rank bucket.
-    t0 = time.perf_counter()
+    import dataclasses as _dc
+
     report = JKReport()
     for kt_ref in fitted:
+        t0 = time.perf_counter()
         kt_host = to_host_model(kt_ref)
         reps = generate_jk_ktensors(kt_host)
         queue = [k for k, _ in reps]
         fibers = [f for _, f in reps]
-        p = CalsParams(
-            tol=params.tol,
-            max_iterations=params.max_iterations,
-            force_max_iter=params.force_max_iter,
-            line_search=params.line_search,
-            update_method=params.update_method,
-            precision=params.precision,
-            bucket_ranks=(kt_host.rank,),
-        )
+        # Carry EVERY AlsParams field the CalsParams schema shares — a
+        # partial copy here silently ran the baseline with different
+        # line-search/NNLS/solver settings than the caller requested.
+        shared = {
+            f.name: getattr(params, f.name)
+            for f in _dc.fields(params)
+            if any(g.name == f.name for g in _dc.fields(CalsParams))
+        }
+        p = CalsParams(**shared, bucket_ranks=(kt_host.rank,))
+        t1 = time.perf_counter()
+        report.pre_time += t1 - t0
         results, _ = _cals(x, queue, p, jk_fibers=fibers)
+        report.solver_time += time.perf_counter() - t1
         out = [_rescale_replicate(kt, f) for kt, f in zip(results, fibers)]
         report.results.append(jk_permutation_adjustment(kt_host, out))
-    report.solver_time = time.perf_counter() - t0
     return report
 
 

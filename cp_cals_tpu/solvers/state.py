@@ -37,6 +37,9 @@ class LsState(NamedTuple):
     backup_fit: Array
     backup_old_fit: Array
     backup_iters: Array
+    # NNLS warm-start active sets at backup time (reference Ktensor::copy
+    # carries active_set, ktensor.cpp:163-181); () when NNLS is off.
+    backup_active: tuple = ()
 
 
 class SolverState(NamedTuple):
@@ -110,6 +113,7 @@ def init_state(
             backup_fit=f,
             backup_old_fit=f,
             backup_iters=i0,
+            backup_active=active,
         )
     else:
         ls = ()

@@ -93,6 +93,33 @@ def test_cals_nnls_equals_als():
         )
 
 
+def test_cals_nnls_line_search_equals_als():
+    """NNLS + NEC line search: the revert must restore the warm-start
+    active sets along with the factors (reference Ktensor::copy carries
+    active_set, ktensor.cpp:163-181); CALS ≡ ALS through eviction/refill
+    with both features on, and factors stay non-negative."""
+    _, kts = make_problem(5, n_models=4, ranks=(3,))
+    key = jax.random.PRNGKey(77)
+    kt_true = jax.tree.map(jnp.abs, random_ktensor(key, MODES, 3))
+    x = to_tensor(kt_true)
+    cp = CalsParams(
+        tol=1e-9, buffer_size=6, bucket_ranks=(4,),
+        update_method=UpdateMethod.NNLS, line_search=True,
+    )
+    ap = AlsParams(
+        tol=1e-9, update_method=UpdateMethod.NNLS, line_search=True,
+    )
+    results, rep = cp_cals(x, kts, cp)
+    for kt0, kt_cals, mrep in zip(kts, results, rep.models):
+        kt_als, rep_als = cp_als(x, kt0, ap)
+        assert rep_als.iters == mrep.iters
+        for f in kt_cals.factors:
+            assert np.asarray(f).min() >= 0.0
+        np.testing.assert_allclose(
+            to_tensor(kt_cals), to_tensor(kt_als), atol=1e-9
+        )
+
+
 def test_cals_force_max_iter():
     x, kts = make_problem(4, n_models=3, ranks=(3,))
     params = CalsParams(max_iterations=7, force_max_iter=True, bucket_ranks=(4,))
