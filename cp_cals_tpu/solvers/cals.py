@@ -584,8 +584,6 @@ def precompile_buckets(
         # (with_select=True — a distinct program from the intake one).
         _gather_kt(out.kt, np.arange(b, dtype=np.int32))
         _mask_alive(out, np.ones((b,), bool))
-        if params.tail_compaction_depth > 0 and b > 1:
-            _gather_slots(out, np.arange(b // 2, dtype=np.int32))
         builder_for(None, True, True)(
             np.ones((b,), np_dtype), meta, out, np.zeros((b,), bool)
         )
@@ -600,22 +598,48 @@ def precompile_buckets(
                 flat, meta, out, np.zeros((b,), bool)
             )
         _fetch(stats)  # sync (stats packing is fused into the programs)
+        return step, run_until_evict, out
+
+    def compile_ladder(step, run_until_evict, state, b):
+        # Tail-compaction shapes: the drain phase repacks live slots into a
+        # half-size batch up to tail_compaction_depth times, and each level
+        # needs its own run/step + eviction-gather + alive-mask programs.
+        # Left to compile at runtime these serialize inside the engine's
+        # hot loop; warming them here rides the threaded compile pass
+        # (one ladder job per bucket, buckets in parallel).
+        bb = b
+        for _ in range(params.tail_compaction_depth):
+            if bb <= 1:
+                break
+            state = _gather_slots(state, np.arange(bb // 2, dtype=np.int32))
+            bb //= 2
+            state = state._replace(
+                iters=jnp.full((bb,), params.max_iterations - 1, jnp.int32)
+            )
+            if params.sync_mode == "evict" and not params.always_evict_first:
+                state, stats = run_until_evict(x, state, jnp.asarray(1.0, dtype))
+            else:
+                state, stats = step(x, state, jnp.asarray(1.0, dtype))
+            _gather_kt(state.kt, np.arange(bb, dtype=np.int32))
+            _mask_alive(state, np.ones((bb,), bool))
+            _fetch(stats)
 
     has_explicit = any(
         not isinstance(kt, RandomKtensorSpec) for kt in queue
     )
     jobs = [(r, b) for wave in waves for r, b in wave.items()]
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
-        futs = [ex.submit(compile_one, r, b) for r, b in jobs]
-        # The norm prologue is also one unwarmed program otherwise.
-        futs.append(
-            ex.submit(
-                lambda: _fetch(
-                    _norms_program(str(jnp.dtype(dtype)), has_jk)(x)
-                )
-            )
+        futmap = {ex.submit(compile_one, r, b): b for r, b in jobs}
+        norm_fut = ex.submit(
+            # The norm prologue is also one unwarmed program otherwise.
+            lambda: _fetch(_norms_program(str(jnp.dtype(dtype)), has_jk)(x))
         )
-        for f in futs:
+        ladder_futs = [
+            ex.submit(compile_ladder, *f.result(), futmap[f])
+            for f in concurrent.futures.as_completed(list(futmap))
+        ]
+        norm_fut.result()
+        for f in ladder_futs:
             f.result()
 
 
