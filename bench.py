@@ -71,11 +71,45 @@ def build_workload(dtype):
     return x, queue, modes
 
 
+def require_backend(timeout_s=None):
+    """Fail legibly instead of hanging forever when the device backend is
+    unreachable: the tunneled TPU goes down occasionally, and then
+    jax.devices() blocks indefinitely — the bench would hang with no
+    output at all. Probe backend init in a daemon thread; on timeout or
+    error, print an error JSON line (so the driver records WHY there is
+    no number) and exit nonzero."""
+    import threading
+
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("BENCH_BACKEND_TIMEOUT", "900"))
+    done = threading.Event()
+    result = []
+
+    def probe():
+        try:
+            result.append(jax.devices()[0])
+        except Exception as e:  # noqa: BLE001 - report any init failure
+            result.append(e)
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s) or isinstance(result[0], Exception):
+        why = str(result[0]) if result else f"jax.devices() hung {timeout_s}s"
+        print(json.dumps({
+            "metric": "cpd_models_converged_per_sec", "value": 0.0,
+            "unit": "models/s", "vs_baseline": 0.0,
+            "error": f"device backend unavailable: {why}",
+        }), flush=True)
+        os._exit(1)
+    return result[0]
+
+
 def main():
     from cp_cals_tpu.config import CalsParams
     from cp_cals_tpu.ops.mttkrp import als_iteration_flops
     from cp_cals_tpu.solvers import cp_cals
 
+    require_backend()
     dtype = jnp.float32
     x, queue, modes = build_workload(dtype)
     # Forced-iteration protocol, like the reference's paper throughput

@@ -1,0 +1,54 @@
+#!/bin/bash
+# Unattended TPU measurement campaign. Run when the tunnel is healthy:
+#   nohup bash scripts/tpu_campaign.sh > /tmp/campaign.log 2>&1 &
+#
+# Stages run strictly one at a time (two TPU processes serialize on the
+# device) with per-stage timeouts; a failed/hung stage is killed and the
+# campaign moves on. Outputs land in data/benchmarks/r2_campaign/.
+set -u
+cd "$(dirname "$0")/.."
+OUT=data/benchmarks/r2_campaign
+mkdir -p "$OUT"
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+
+stage() { # name timeout_s cmd...
+  local name=$1 tmo=$2; shift 2
+  echo "=== [$name] $(date +%H:%M:%S) ==="
+  timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
+  local rc=$?
+  echo "=== [$name] rc=$rc $(date +%H:%M:%S) ==="
+  tail -3 "$OUT/$name.log"
+}
+
+# 0. Health gate: bail early if the tunnel is down.
+if ! timeout 300 python -u -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((128,128), jnp.bfloat16)
+print('health OK', float(jnp.sum((x@x).astype(jnp.float32))))"; then
+  echo "TUNNEL DOWN - aborting campaign"; exit 1
+fi
+
+# 1. Headline bench, twice (no cross-process compile cache on this
+#    backend: both runs are cold; report both, best is the headline).
+stage bench_1 3600 python bench.py
+stage bench_2 3600 python bench.py
+
+# 2. LUT refresh over the bench bucket shapes (+ tail-compacted halves).
+stage lut_refresh 5400 python -m cp_cals_tpu.bench_mttkrp \
+  -t 299-301-41 --ranks 4,8,12,16,20 --batches 96,48,24 --reps 5
+
+# 3. Pallas fused kernel vs XLA twostep, interleaved A/B (shared-chip
+#    noise discipline), at the two widest bench programs.
+stage pallas_ab_r16 2400 python scripts/bench_pallas_ab.py 16 96 7
+stage pallas_ab_r20 2400 python scripts/bench_pallas_ab.py 20 96 7
+
+# 4. Tol-driven convergence fidelity on hardware (fit vs fp64 oracle).
+stage convergence 3600 python scripts/convergence_run.py
+
+# 5. Experiment pack at the reference's full grid (100/200/300^3 + defrag
+#    + JK paper workloads). Longest stage; runs last so earlier stages
+#    still land if the tunnel dies mid-campaign.
+stage experiments_large 14400 python -m cp_cals_tpu.experiments \
+  --large --defrag --jk --out "$OUT"
+
+echo "CAMPAIGN DONE $(date +%H:%M:%S)"
