@@ -133,10 +133,8 @@ def prepare_unfoldings(x: Array) -> tuple[Array, ...]:
 
 
 def resolve_batched_method(method: str, x_ndim: int, mode: int) -> str:
-    if method == "twostep" and x_ndim != 3:
-        return "krp_gemm"  # reference: N-D always uses the KRP form
     if method == "pallas" and x_ndim != 3:
-        return "krp_gemm"
+        return "twostep"  # the Pallas kernel is written for 3-D tiles
     return method
 
 
@@ -215,32 +213,50 @@ def mttkrp_batched_twostep(
     prepared: Array | None = None,
 ) -> Array:
     """Packed TTM+TTV: contract the largest non-target mode with ONE MXU
-    matmul into a [I_n * I_small, B*R] intermediate, then reduce the small
-    mode on the VPU.
+    matmul into a [I_n * prod(small), B*R] intermediate, then reduce each
+    remaining mode with a per-(B,R)-column contraction (batched TTV).
 
     This is the reference's TWOSTEP (mttkrp.cpp:330-560) re-laid-out for the
     packed model batch. vs KRP-GEMM it replaces the [prod(others), B*R] KRP
     (huge when the target mode is small — 691 MB for the EEM tensor's mode
-    2 at full buffer) with a [I_n * I_small, B*R] intermediate; the
+    2 at full buffer) with a [I_n * prod(small), B*R] intermediate; the
     autotuner/heuristic picks per mode, like the reference's LUT.
 
-    3-D only (the reference's TWOSTEP is as well, mttkrp.cpp:567).
+    Unlike the reference, whose TWOSTEP is 3-D-only (mttkrp.cpp:567 sends
+    N-D to the KRP form), this generalizes to any N: TTV reductions chain,
+    largest remaining mode first so the intermediate shrinks fastest.
     """
-    if x.ndim != 3:
-        raise ValueError("twostep is 3-D only; use krp_gemm for N-D")
-    others = _others(3, mode)
+    others = _others(x.ndim, mode)
     big = max(others, key=lambda m: x.shape[m])
-    small = [m for m in others if m != big][0]
+    small = [m for m in others if m != big]
     b, _, r = factors[big].shape
-    i_n, i_s, i_b = x.shape[mode], x.shape[small], x.shape[big]
+    i_n, i_b = x.shape[mode], x.shape[big]
 
     x_ts = prepared if prepared is not None else _ts_layout(x, mode)
     u_big = jnp.transpose(factors[big], (1, 0, 2)).reshape(i_b, b * r)
-    t = jnp.matmul(x_ts, u_big, precision=precision)  # [I_n*I_s, B*R]
-    t4 = t.reshape(i_n, i_s, b, r)
-    u_small = jnp.transpose(factors[small], (1, 0, 2))  # [I_s, B, R]
-    g = jnp.einsum("nsbr,sbr->bnr", t4, u_small, precision=precision)
-    return g
+    t = jnp.matmul(x_ts, u_big, precision=precision)  # [I_n*prod(s), B*R]
+    t = t.reshape(i_n, *(x.shape[m] for m in small), b, r)
+    while small:
+        m = max(small, key=lambda mm: x.shape[mm])
+        ax = 1 + small.index(m)
+        u = jnp.transpose(factors[m], (1, 0, 2))  # [I_m, B, R]
+        nd = t.ndim
+        # Contract t's axis `ax` with u's mode axis, elementwise in (B, R);
+        # the final reduction writes [B, I_n, R] directly (for 3-D this is
+        # exactly the single "nsbr,sbr->bnr" einsum).
+        out_axes = (
+            [i for i in range(nd) if i != ax]
+            if len(small) > 1
+            else [nd - 2, 0, nd - 1]
+        )
+        t = jnp.einsum(
+            t, list(range(nd)),
+            u, [ax, nd - 2, nd - 1],
+            out_axes,
+            precision=precision,
+        )
+        small.remove(m)
+    return t  # [B, I_n, R]
 
 
 def mttkrp_batched(

@@ -67,12 +67,14 @@ def heuristic_methods(modes, rank: int = 0, batch: int = 0) -> tuple[str, ...]:
     when threaded (mttkrp.cpp:588-606). The B*R-dependent crossovers live
     in the measured LUT (autotune), which overrides this default.
 
-    N-D (!=3) tensors use the KRP form (the reference's N-D path is also
-    KRP-only, mttkrp.cpp:567-568; twostep is 3-D-only here too).
+    N-D (!=3) tensors also default to twostep: our TTM+TTV chain
+    generalizes to any N (unlike the reference, whose N-D path falls back
+    to the KRP form, mttkrp.cpp:567-568), and the KRP materialization cost
+    only grows with more modes ([prod(others), B*R] is a 3+-factor KRP).
+    A measured LUT entry still overrides this default per (shape, rank,
+    batch, mode).
     """
-    if len(modes) != 3:
-        return tuple("krp_gemm" for _ in modes)
-    return ("twostep", "twostep", "twostep")
+    return tuple("twostep" for _ in modes)
 
 
 def lookup_methods(modes, rank: int, batch: int) -> tuple[str, ...]:

@@ -42,10 +42,17 @@ stage lut_refresh 5400 python -m cp_cals_tpu.bench_mttkrp \
 stage pallas_ab_r16 2400 python scripts/bench_pallas_ab.py 16 96 7
 stage pallas_ab_r20 2400 python scripts/bench_pallas_ab.py 20 96 7
 
-# 4. Tol-driven convergence fidelity on hardware (fit vs fp64 oracle).
+# 4. Post-fusion iteration profile: decompose the compiled iteration at
+#    the widest bench program (the ~50/50 MTTKRP/small-ops split and the
+#    unexplained iteration-vs-sum-of-parts gap were measured pre-fusion).
+stage profile_iter 2400 python scripts/profile_iteration.py \
+  --batch 96 --rank 20 --components \
+  --out "$OUT/profile_r20_b96_postfusion.json"
+
+# 5. Tol-driven convergence fidelity on hardware (fit vs fp64 oracle).
 stage convergence 3600 python scripts/convergence_run.py
 
-# 5. Experiment pack at the reference's full grid (100/200/300^3 + defrag
+# 6. Experiment pack at the reference's full grid (100/200/300^3 + defrag
 #    + JK paper workloads). Longest stage; runs last so earlier stages
 #    still land if the tunnel dies mid-campaign.
 stage experiments_large 14400 python -m cp_cals_tpu.experiments \

@@ -77,6 +77,25 @@ def test_mttkrp_batched_matches_single(mode, method):
         )
 
 
+@pytest.mark.parametrize("shape", [(3, 4, 2, 5), (2, 3, 4, 2, 3)])
+@pytest.mark.parametrize("method", ["krp_gemm", "twostep"])
+def test_mttkrp_batched_nd(shape, method):
+    """N-D batched variants vs the summation oracle — the twostep TTM+TTV
+    chain generalizes past 3-D (unlike the reference, mttkrp.cpp:567-568,
+    whose N-D path falls back to the KRP form)."""
+    key = jax.random.PRNGKey(4)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, shape, jnp.float64)
+    kts = [random_ktensor(k, shape, 3) for k in jax.random.split(k2, 4)]
+    kt_b = jax.tree.map(lambda *fs: jnp.stack(fs), *kts)
+    for mode in range(len(shape)):
+        got = mttkrp_batched(x, kt_b.factors, mode, method)
+        for i, kt in enumerate(kts):
+            np.testing.assert_allclose(
+                got[i], naive_mttkrp(x, kt.factors, mode), atol=1e-12
+            )
+
+
 def test_khatri_rao_definition():
     a = jnp.arange(6.0).reshape(3, 2)
     b = jnp.arange(8.0).reshape(4, 2)

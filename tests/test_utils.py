@@ -82,7 +82,10 @@ def test_heuristic_methods():
     # the matmul roofline on every mode, while the KRP materialization is
     # VPU-bound; see heuristic_methods docstring).
     assert heuristic_methods((299, 301, 41)) == ("twostep",) * 3
-    assert heuristic_methods((5, 5, 5, 5)) == ("krp_gemm",) * 4
+    # N-D: twostep too — the TTM+TTV chain generalizes past 3-D (the
+    # reference's N-D path falls back to KRP, mttkrp.cpp:567-568; ours
+    # doesn't need to, and the KRP cost only grows with more modes).
+    assert heuristic_methods((5, 5, 5, 5)) == ("twostep",) * 4
 
 
 def test_concatenate_ktensors():
