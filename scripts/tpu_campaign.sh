@@ -58,4 +58,7 @@ stage convergence 3600 python scripts/convergence_run.py
 stage experiments_large 14400 python -m cp_cals_tpu.experiments \
   --large --defrag --jk --out "$OUT"
 
+# 7. Re-render the committed figures from whatever results landed.
+stage figures 600 python scripts/plot_experiments.py
+
 echo "CAMPAIGN DONE $(date +%H:%M:%S)"
