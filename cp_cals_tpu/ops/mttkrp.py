@@ -236,6 +236,8 @@ def mttkrp_batched_twostep(
     u_big = jnp.transpose(factors[big], (1, 0, 2)).reshape(i_b, b * r)
     t = jnp.matmul(x_ts, u_big, precision=precision)  # [I_n*prod(s), B*R]
     t = t.reshape(i_n, *(x.shape[m] for m in small), b, r)
+    if not small:  # 2-D: the TTM alone is the whole MTTKRP
+        return jnp.transpose(t, (1, 0, 2))
     while small:
         m = max(small, key=lambda mm: x.shape[mm])
         ax = 1 + small.index(m)

@@ -146,9 +146,10 @@ def fig_mttkrp(profile, path):
 def fig_convergence(conv, path):
     """fp32-on-TPU vs fp64-oracle fit agreement per model (dot plot,
     log scale, one hue)."""
-    models = conv.get("models", [])
-    if not models:
-        return
+    models = [m for m in conv.get("models", [])
+              if m.get("fit_delta_vs_f64") is not None]
+    if not models or conv.get("max_abs_fit_delta") is None:
+        return  # convergence run was made without the fp64 oracle file
     fig, ax = plt.subplots(figsize=(6.4, 3.2))
     fig.set_facecolor(SURFACE)
     xs = [m["rank"] for m in models]

@@ -33,9 +33,14 @@ fi
 stage bench_1 3600 python bench.py
 stage bench_2 3600 python bench.py
 
-# 2. LUT refresh over the bench bucket shapes (+ tail-compacted halves).
-stage lut_refresh 5400 python -m cp_cals_tpu.bench_mttkrp \
-  -t 299-301-41 --ranks 4,8,12,16,20 --batches 96,48,24 --reps 5
+# 2. LUT refresh over the (batch, rank) programs the bench engine
+#    actually allocates (waves: r4/r8/r20 at B=96, r16 at B=160; the
+#    runtime reuses base-batch methods after tail compaction, so
+#    compacted widths need no entries).
+stage lut_refresh_b96 3600 python -m cp_cals_tpu.bench_mttkrp \
+  -t 299-301-41 --ranks 4,8,20 --batches 96 --reps 5
+stage lut_refresh_b160 2400 python -m cp_cals_tpu.bench_mttkrp \
+  -t 299-301-41 --ranks 16 --batches 160 --reps 5
 
 # 3. Pallas fused kernel vs XLA twostep, interleaved A/B (shared-chip
 #    noise discipline), at the two widest bench programs.
@@ -45,9 +50,11 @@ stage pallas_ab_r20 2400 python scripts/bench_pallas_ab.py 20 96 7
 # 4. Post-fusion iteration profile: decompose the compiled iteration at
 #    the widest bench program (the ~50/50 MTTKRP/small-ops split and the
 #    unexplained iteration-vs-sum-of-parts gap were measured pre-fusion).
+#    Writes over the committed profile (the old one lives in git history)
+#    so the figures stage picks it up.
 stage profile_iter 2400 python scripts/profile_iteration.py \
   --batch 96 --rank 20 --components \
-  --out "$OUT/profile_r20_b96_postfusion.json"
+  --out data/benchmarks/profile_r20_b96.json
 
 # 5. Tol-driven convergence fidelity on hardware (fit vs fp64 oracle).
 stage convergence 3600 python scripts/convergence_run.py
@@ -55,8 +62,10 @@ stage convergence 3600 python scripts/convergence_run.py
 # 6. Experiment pack at the reference's full grid (100/200/300^3 + defrag
 #    + JK paper workloads). Longest stage; runs last so earlier stages
 #    still land if the tunnel dies mid-campaign.
+#    Results land in the committed data/benchmarks/ (what the figures
+#    stage and the repo's analysis read); stage logs stay in $OUT.
 stage experiments_large 14400 python -m cp_cals_tpu.experiments \
-  --large --defrag --jk --out "$OUT"
+  --large --defrag --jk --jk-scale --out data/benchmarks
 
 # 7. Re-render the committed figures from whatever results landed.
 stage figures 600 python scripts/plot_experiments.py

@@ -77,7 +77,7 @@ def test_mttkrp_batched_matches_single(mode, method):
         )
 
 
-@pytest.mark.parametrize("shape", [(3, 4, 2, 5), (2, 3, 4, 2, 3)])
+@pytest.mark.parametrize("shape", [(4, 5), (3, 4, 2, 5), (2, 3, 4, 2, 3)])
 @pytest.mark.parametrize("method", ["krp_gemm", "twostep"])
 def test_mttkrp_batched_nd(shape, method):
     """N-D batched variants vs the summation oracle — the twostep TTM+TTV
