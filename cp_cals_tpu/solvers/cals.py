@@ -686,6 +686,20 @@ def cp_cals(
         raise ValueError(
             f"CP-CALS needs a tensor of >= 3 modes, got shape {x.shape}"
         )
+    for i, kt in enumerate(queue):
+        if isinstance(kt, RandomKtensorSpec):
+            if tuple(kt.modes) != tuple(x.shape):
+                raise ValueError(
+                    f"queue[{i}]: spec modes {tuple(kt.modes)} do not match "
+                    f"tensor shape {tuple(x.shape)}"
+                )
+        else:
+            shapes = tuple(int(f.shape[0]) for f in kt.factors)
+            if shapes != tuple(x.shape):
+                raise ValueError(
+                    f"queue[{i}]: model factor leading dims {shapes} do not "
+                    f"match tensor shape {tuple(x.shape)}"
+                )
     if mesh is not None:
         from ..parallel.sharding import tensor_pspec
         from jax.sharding import NamedSharding

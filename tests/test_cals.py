@@ -169,6 +169,17 @@ def test_empty_queue_and_bad_tensor():
 
     with _pytest.raises(ValueError, match=">= 3 modes"):
         cp_cals(jnp.ones((4, 5)), kts, CalsParams())
+    # Shape-mismatched models get a clear message, not a broadcast error.
+    with _pytest.raises(ValueError, match="do not match tensor shape"):
+        cp_cals(jnp.ones((4, 5, 6)), kts, CalsParams())
+    from cp_cals_tpu.ktensor import RandomKtensorSpec
+
+    with _pytest.raises(ValueError, match="spec modes"):
+        cp_cals(
+            jnp.ones((4, 5, 6)),
+            [RandomKtensorSpec((4, 5, 7), 2, seed=0)],
+            CalsParams(),
+        )
 
 
 def test_engine_checkpointing(tmp_path):
