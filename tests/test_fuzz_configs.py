@@ -53,6 +53,41 @@ def sample_config(rng: random.Random):
     }
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_random_config_jk(seed):
+    """Randomized jackknife configs: jk_cp_cals (masked-fiber trick,
+    one concurrent run) must reproduce jk_cp_als (materialized subsampled
+    tensors, sequential) across sampled engine knobs."""
+    from cp_cals_tpu.solvers import jk_cp_als, jk_cp_cals
+
+    rng = random.Random(2000 + seed)
+    shape = rng.choice([(6, 7, 5), (5, 4, 3, 3)])
+    rank = rng.choice([2, 3])
+    n_iter = rng.choice([8, 15])
+    threads = rng.choice([1, 3])
+    key = jax.random.PRNGKey(seed)
+    kx, k0, kn = jax.random.split(key, 3)
+    x = to_tensor(random_ktensor(kx, shape, 2))
+    x = x + 1e-3 * jax.random.normal(kn, x.shape, x.dtype)
+    kt_fit, _ = cp_als(x, random_ktensor(k0, shape, rank),
+                       AlsParams(tol=1e-10, max_iterations=300))
+    a = jk_cp_cals(x, [kt_fit], CalsParams(
+        max_iterations=n_iter, force_max_iter=True,
+        bucket_ranks=(rank,), bucket_threads=threads,
+        buffer_size=rng.choice([rank * 3, 4200]),
+    ))
+    b = jk_cp_als(x, [kt_fit], AlsParams(
+        max_iterations=n_iter, force_max_iter=True,
+    ))
+    assert len(a.results[0]) == shape[0]
+    for ka, kb in zip(a.results[0], b.results[0]):
+        for fa, fb in zip(ka.factors, kb.factors):
+            fa, fb = np.asarray(fa), np.asarray(fb)
+            mask = np.isfinite(fa)
+            assert (mask == np.isfinite(fb)).all()
+            np.testing.assert_allclose(fa[mask], fb[mask], atol=1e-8)
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_random_config_cals_equals_als(seed):
     rng = random.Random(1000 + seed)
