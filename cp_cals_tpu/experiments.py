@@ -170,6 +170,61 @@ def jackknife_experiment(modes=(50, 100, 100), ranks=(3, 5, 7, 9),
             "replicates_per_sec": round(n / dt, 2)}
 
 
+def jackknife_real_experiment(path, ranks=(4, 5, 6), tol=1e-6,
+                              max_iter=1000, dtype=jnp.float32, seed=0):
+    """Reference §5.3 real-data JK protocol (experiments_jk.cpp:63-96 +
+    compare_jk_als_cals_real, experiments_utils.cpp:417-526): load a
+    tensor from the reference text format, fit one random-init model per
+    requested component count tol-driven, jackknife them all in one
+    concurrent CALS run, and cross-time the batched-ALS jackknife
+    baseline on the same fitted models.
+
+    The reference runs this on stjohns.txt / wine.txt (fluorescence EEM
+    datasets it does not ship); any reference-format tensor file works.
+    """
+    import numpy as np
+
+    from .config import AlsParams, CalsParams
+    from .ktensor import random_ktensor_host
+    from .solvers import cp_cals, jk_cp_cals
+    from .solvers.jackknife import jk_cp_batched_als
+    from .tensor_io import read_tensor
+
+    x = jnp.asarray(read_tensor(path), dtype)
+    rng = np.random.default_rng(seed)
+    models = [random_ktensor_host(rng, x.shape, r, dtype=dtype)
+              for r in ranks]
+    fit_params = CalsParams(
+        tol=tol, max_iterations=max_iter, precision="high",
+        bucket_ranks=tuple(sorted(set(ranks))),
+    )
+    fitted, fit_rep = cp_cals(x, models, fit_params)
+
+    jk_cp_cals(x, fitted, fit_params)  # warm
+    t0 = time.perf_counter()
+    rep = jk_cp_cals(x, fitted, fit_params)
+    cals_s = time.perf_counter() - t0
+    n = sum(len(r) for r in rep.results)
+
+    als_params = AlsParams(tol=tol, max_iterations=max_iter,
+                           precision="high")
+    jk_cp_batched_als(x, fitted, als_params)  # warm
+    t0 = time.perf_counter()
+    jk_cp_batched_als(x, fitted, als_params)
+    als_s = time.perf_counter() - t0
+
+    return {
+        "file": os.path.basename(path),
+        "modes": list(x.shape),
+        "ranks": list(ranks),
+        "fits": [round(m.fit, 6) for m in fit_rep.models],
+        "n_replicates": n,
+        "jk_cals_s": round(cals_s, 3),
+        "jk_batched_als_s": round(als_s, 3),
+        "speedup": round(als_s / cals_s, 2),
+    }
+
+
 def defrag_experiment(modes=(200, 200, 200), rank_max=20, copies=20,
                       max_iter=1000, out_dir=None, dtype=jnp.float32):
     """Reference 'letter' defrag-stress study (experiments_letter.cpp:33-51):
@@ -231,6 +286,13 @@ def main(argv=None):
     p.add_argument("--jk-scale", action="store_true",
                    help="jackknife scale sweep over the paper's tensor "
                         "sizes 50x{100,200,400}^2 (experiments_jk.cpp:34-98)")
+    p.add_argument("--jk-file", default=None,
+                   help="real-data jackknife (reference §5.3, "
+                        "experiments_jk.cpp:63-96): path to a "
+                        "reference-format tensor text file")
+    p.add_argument("--jk-file-ranks", default="4,5,6",
+                   help="component counts for --jk-file (reference uses "
+                        "4,5,6 for stjohns and 20,20,20 for wine)")
     p.add_argument("--no-base", action="store_true",
                    help="skip the base ALS-vs-CALS size sweep (useful when "
                         "running a single named experiment)")
@@ -343,6 +405,14 @@ def main(argv=None):
             )
             print("jk_scale", tag, sweep[tag], flush=True)
         results["jackknife_scale"] = sweep
+
+    if args.jk_file:
+        ranks = tuple(int(r) for r in args.jk_file_ranks.split(","))
+        results["jackknife_real"] = jackknife_real_experiment(
+            args.jk_file, ranks=ranks,
+            max_iter=50 if args.quick else 1000,
+        )
+        print("jk_real", results["jackknife_real"], flush=True)
 
     if args.defrag:
         if args.quick:

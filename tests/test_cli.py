@@ -3,6 +3,7 @@
 import os
 
 import jax
+import jax.numpy as jnp
 
 
 def test_cli_end_to_end(tmp_path, capsys):
@@ -64,3 +65,24 @@ def test_defrag_experiment_quick(tmp_path):
     assert out["default"]["mean_iters"] == 4
     assert (tmp_path / "defrag_defrag.csv").exists()
     assert (tmp_path / "defrag_default.csv").exists()
+
+
+def test_jackknife_real_experiment(tmp_path):
+    """Reference §5.3 real-data JK protocol (experiments_jk.cpp:63-96) on
+    a reference-format tensor file."""
+    import numpy as np
+
+    from cp_cals_tpu.experiments import jackknife_real_experiment
+    from cp_cals_tpu.ktensor import random_ktensor_host
+    from cp_cals_tpu.tensor_io import write_tensor
+
+    rng = np.random.default_rng(3)
+    kt = random_ktensor_host(rng, (6, 8, 7), 3, dtype=jnp.float32)
+    x = np.einsum("ir,jr,kr,r->ijk", *kt.factors, kt.lam).astype(np.float32)
+    x += 0.01 * x.std() * rng.standard_normal(x.shape).astype(np.float32)
+    path = str(tmp_path / "toy.txt")
+    write_tensor(path, x)
+    out = jackknife_real_experiment(path, ranks=(2, 3), max_iter=20)
+    assert out["modes"] == [6, 8, 7]
+    assert out["n_replicates"] == 2 * 6  # one LOO set per fitted model
+    assert out["jk_cals_s"] > 0 and out["jk_batched_als_s"] > 0
