@@ -147,6 +147,12 @@ def jk_cp_cals(
         for kt_rep, fiber in reps:
             queue.append(kt_rep)
             fibers.append(fiber)
+    # Threaded AOT pass over every program the run needs (cold-start:
+    # serial compile-on-first-dispatch costs multiples of this).
+    if mesh is None and jax.process_count() == 1:
+        from .cals import precompile_buckets
+
+        precompile_buckets(x, queue, params, has_jk=True)
     t1 = time.perf_counter()
 
     results, cals_rep = cp_cals(
@@ -223,9 +229,24 @@ def jk_cp_batched_als(
 
 
 def to_host_model(kt: Ktensor) -> Ktensor:
+    """normalize_full(denormalize(kt)), computed on HOST after one bulk
+    fetch. The factors are tiny ([I, R]); running the normalize chain
+    eagerly on device costs ~8 one-op XLA programs per fitted-model shape
+    (each a separate remote compile + dispatch on tunneled backends)."""
     from ..ktensor import to_host
 
-    return to_host(normalize_full(denormalize(kt)))
+    kt = to_host(kt)
+    factors = [np.asarray(f) for f in kt.factors]
+    lam0 = np.asarray(kt.lam)
+    factors[0] = factors[0] * lam0[..., None, :]
+    lam = np.ones_like(lam0)
+    new = []
+    for f in factors:
+        coeff = np.linalg.norm(f, axis=-2)
+        safe = np.where(coeff != 0, coeff, 1.0)
+        new.append(f / safe[..., None, :])
+        lam = lam * coeff
+    return Ktensor(tuple(new), lam)
 
 
 def jk_cp_als(
