@@ -225,6 +225,58 @@ def jackknife_real_experiment(path, ranks=(4, 5, 6), tol=1e-6,
     }
 
 
+def scale_sweep(modes=(500, 500, 500), copies=250, rank_max=20,
+                max_iter=50, dtype=jnp.float32, seed=7):
+    """BASELINE.json config 5 (single-host leg): thousands of concurrent
+    CPDs on one large synthetic tensor — copies models per rank 1..rank_max
+    (250 copies -> 5000 models at the baseline's 500^3 size), forced
+    iterations, models/s + achieved MTTKRP TFLOP/s. The N-host axis runs
+    the same queue through cp_cals(mesh=...) on a pod slice
+    (scripts/run_pod_slice.sh); here we report the 1-chip leg.
+    """
+    import numpy as np
+
+    from .config import CalsParams
+    from .ktensor import RandomKtensorSpec
+    from .ops.mttkrp import als_iteration_flops
+    from .solvers import cp_cals
+    from .solvers.cals import bucket_rank, precompile_buckets
+
+    rng = np.random.default_rng(seed)
+    # Large random tensor built host-side in one shot; low-rank structure
+    # is irrelevant under force_max_iter (reference experiments also use
+    # T.randomize() for the throughput protocol, experiments_jk.cpp:57).
+    x = jnp.asarray(
+        rng.standard_normal(modes).astype(np.dtype(str(jnp.dtype(dtype))))
+    )
+    queue = [
+        RandomKtensorSpec(tuple(modes), r, seed=1000 * r + c,
+                          dtype=str(jnp.dtype(dtype)))
+        for r in range(1, rank_max + 1) for c in range(copies)
+    ]
+    params = CalsParams(
+        tol=1e-6, max_iterations=max_iter, force_max_iter=True,
+        precision="high", bucket_ranks=(4, 8, 16, 20),
+        buffer_size=40 * 96,  # bounded live columns; waves stream the rest
+    )
+    t0 = time.perf_counter()
+    precompile_buckets(x, queue, params)
+    warm_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _, rep = cp_cals(x, queue, params)
+    wall = time.perf_counter() - t0
+    padded_flops = sum(
+        m.iters * als_iteration_flops(modes, bucket_rank(m.rank, params.bucket_ranks))
+        for m in rep.models
+    )
+    return {
+        "modes": list(modes), "n_models": len(queue),
+        "warmup_s": round(warm_s, 3), "wall_s": round(wall, 3),
+        "models_per_sec": round(len(queue) / wall, 2),
+        "mttkrp_tflops": round(padded_flops / wall / 1e12, 2),
+    }
+
+
 def defrag_experiment(modes=(200, 200, 200), rank_max=20, copies=20,
                       max_iter=1000, out_dir=None, dtype=jnp.float32):
     """Reference 'letter' defrag-stress study (experiments_letter.cpp:33-51):
@@ -286,6 +338,10 @@ def main(argv=None):
     p.add_argument("--jk-scale", action="store_true",
                    help="jackknife scale sweep over the paper's tensor "
                         "sizes 50x{100,200,400}^2 (experiments_jk.cpp:34-98)")
+    p.add_argument("--scale-sweep", action="store_true",
+                   help="BASELINE config 5 single-host leg: 5000 concurrent "
+                        "CPDs (ranks 1-20 x 250) on a synthetic 500^3 "
+                        "tensor; --quick shrinks it")
     p.add_argument("--jk-file", default=None,
                    help="real-data jackknife (reference §5.3, "
                         "experiments_jk.cpp:63-96): path to a "
@@ -405,6 +461,15 @@ def main(argv=None):
             )
             print("jk_scale", tag, sweep[tag], flush=True)
         results["jackknife_scale"] = sweep
+
+    if args.scale_sweep:
+        if args.quick:
+            results["scale_sweep"] = scale_sweep(
+                modes=(30, 25, 20), copies=3, rank_max=6, max_iter=5
+            )
+        else:
+            results["scale_sweep"] = scale_sweep()
+        print("scale_sweep", results["scale_sweep"], flush=True)
 
     if args.jk_file:
         ranks = tuple(int(r) for r in args.jk_file_ranks.split(","))

@@ -67,6 +67,10 @@ stage convergence 3600 python scripts/convergence_run.py
 stage experiments_large 14400 python -m cp_cals_tpu.experiments \
   --large --defrag --jk --jk-scale --out data/benchmarks
 
+# 6b. BASELINE config-5 single-host leg: 5000 concurrent CPDs on 500^3.
+stage scale_sweep 7200 python -m cp_cals_tpu.experiments \
+  --scale-sweep --no-base --out data/benchmarks
+
 # 7. Re-render the committed figures from whatever results landed.
 stage figures 600 python scripts/plot_experiments.py
 

@@ -86,3 +86,13 @@ def test_jackknife_real_experiment(tmp_path):
     assert out["modes"] == [6, 8, 7]
     assert out["n_replicates"] == 2 * 6  # one LOO set per fitted model
     assert out["jk_cals_s"] > 0 and out["jk_batched_als_s"] > 0
+
+
+def test_scale_sweep_quick():
+    """BASELINE config-5 harness leg (scaled down): spec queue, waves
+    under a bounded buffer, throughput + FLOP accounting."""
+    from cp_cals_tpu.experiments import scale_sweep
+
+    out = scale_sweep(modes=(12, 10, 8), copies=2, rank_max=4, max_iter=3)
+    assert out["n_models"] == 8
+    assert out["models_per_sec"] > 0
