@@ -169,6 +169,72 @@ def fig_convergence(conv, path):
     plt.close(fig)
 
 
+def fig_defrag(exp, path):
+    """Defrag/letter study (always_evict_first stress vs default eviction):
+    two engine states of one measure -> two bars, one hue."""
+    d = exp.get("defrag", {})
+    if not ({"default", "defrag"} <= d.keys()):
+        return
+    rows = [("default eviction", d["default"]["models_per_sec"]),
+            ("always_evict_first (defrag stress)",
+             d["defrag"]["models_per_sec"])]
+    fig, ax = plt.subplots(figsize=(6.4, 2.6))
+    fig.set_facecolor(SURFACE)
+    ys = range(len(rows))
+    ax.barh(list(ys), [v for _, v in rows], height=0.34, color=BLUE,
+            linewidth=0)
+    for y, (_, v) in zip(ys, rows):
+        ax.text(v + 0.5, y, f"{v:.1f} models/s", va="center", color=INK,
+                fontsize=10, fontweight="semibold")
+    ax.set_yticks(list(ys), [r[0] for r in rows])
+    ax.set_ylim(-0.6, len(rows) - 0.4)
+    ax.set_xlim(0, max(v for _, v in rows) * 1.45)
+    ax.invert_yaxis()
+    _style(ax, xgrid=True)
+    ax.set_title("Defrag-stress study, 200³ tol-driven\n"
+                 f"(eviction-churn overhead {d.get('evict_first_overhead', '?')}×)",
+                 color=INK, fontsize=11, loc="left", pad=10)
+    fig.tight_layout()
+    fig.savefig(path, dpi=160, facecolor=SURFACE)
+    plt.close(fig)
+
+
+def fig_roofline(profile, path):
+    """Kernel ladder: achieved twostep MTTKRP vs a pure matmul of the same
+    shape vs device peak — emphasis form (the kernel is the story; context
+    bars in de-emphasis gray)."""
+    best_ts = max(
+        (profile[k]["tflops"] for k in profile
+         if k.startswith("mttkrp_m") and k.endswith("_twostep_high")),
+        default=None,
+    )
+    mm = profile.get("pure_matmul_high", {}).get("tflops")
+    peak = profile.get("peak_bf16_4096", {}).get("tflops")
+    if best_ts is None or mm is None or peak is None:
+        return
+    rows = [("MTTKRP twostep (best mode)", best_ts, BLUE),
+            ("pure matmul, same shape", mm, MUTED),
+            ("device peak (bf16 4096³)", peak, MUTED)]
+    fig, ax = plt.subplots(figsize=(6.4, 2.8))
+    fig.set_facecolor(SURFACE)
+    ys = range(len(rows))
+    for y, (_, v, c) in zip(ys, rows):
+        ax.barh(y, v, height=0.34, color=c, linewidth=0)
+        ax.text(v + 2, y, f"{v:.0f} TF/s", va="center", color=INK,
+                fontsize=10, fontweight="semibold")
+    ax.set_yticks(list(ys), [r[0] for r in rows])
+    ax.set_ylim(-0.6, len(rows) - 0.4)
+    ax.set_xlim(0, max(v for _, v, _c in rows) * 1.22)
+    ax.invert_yaxis()
+    _style(ax, xgrid=True)
+    ax.set_title("Kernel throughput ladder, fp32-via-bf16 'high'\n"
+                 "(one shared-chip window; see docs/PROFILE.md)",
+                 color=INK, fontsize=10, loc="left", pad=10)
+    fig.tight_layout()
+    fig.savefig(path, dpi=160, facecolor=SURFACE)
+    plt.close(fig)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--data", default="data/benchmarks")
@@ -184,9 +250,11 @@ def main(argv=None):
     if exp:
         fig_speedup(exp, os.path.join(args.out, "speedup.png"))
         fig_jk_scale(exp, os.path.join(args.out, "jk_scale.png"))
+        fig_defrag(exp, os.path.join(args.out, "defrag.png"))
     prof = load("profile_r20_b96.json")
     if prof:
         fig_mttkrp(prof, os.path.join(args.out, "mttkrp_methods.png"))
+        fig_roofline(prof, os.path.join(args.out, "roofline.png"))
     conv = load("convergence_tpu.json")
     if conv:
         fig_convergence(conv, os.path.join(args.out, "convergence.png"))
