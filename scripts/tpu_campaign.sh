@@ -59,6 +59,18 @@ stage profile_iter 2400 python scripts/profile_iteration.py \
 # 5. Tol-driven convergence fidelity on hardware (fit vs fp64 oracle).
 stage convergence 3600 python scripts/convergence_run.py
 
+# 5b. External MTTKRP comparison on CPU (torch/NumPy; doesn't touch the
+#     TPU, but keep it serialized for clean CPU timings).
+stage external_mttkrp 2400 python scripts/bench_mttkrp_external.py \
+  --out data/benchmarks/external_mttkrp.json
+
+# 5c. LUT coverage for the experiment-grid + JK-paper shapes (the
+#     reference ships tables for 11 shapes; EEM alone is not enough).
+stage lut_shapes 7200 bash -c 'for t in 100-100-100 300-300-300 \
+  50-100-100 50-200-200 405-136-19; do
+  python -m cp_cals_tpu.bench_mttkrp -t $t --ranks 4,8,16,20 \
+    --batches 96 --reps 4; done'
+
 # 6. Experiment pack at the reference's full grid (100/200/300^3 + defrag
 #    + JK paper workloads). Longest stage; runs last so earlier stages
 #    still land if the tunnel dies mid-campaign.
