@@ -90,6 +90,11 @@ class AlsParams:
     # the reference's dpotrf+dtrsm analog), or "pallas" (lane-batched
     # Gauss-Jordan Pallas kernel; TPU-only).
     solve_method: str = "gj"
+    # Per-mode epilogue (solve + normalize + gramian + error terms):
+    # "auto" = fused Pallas kernels on TPU, XLA elsewhere; "fused" forces
+    # the kernels (interpret mode off-TPU, for tests); "xla" forces the
+    # unfused reference path.
+    epilogue: str = "auto"
     # Debug oracle: warn when a model's error rises > 1e-4 between
     # iterations (reference als.cpp:233-238 warn / cals.cpp:299 assert).
     debug: bool = False
@@ -123,6 +128,8 @@ class CalsParams:
     precision: str = "highest"
     # Normal-matrix solve: "gj" / "chol" / "pallas" (see AlsParams).
     solve_method: str = "gj"
+    # Per-mode epilogue: "auto" / "fused" / "xla" (see AlsParams).
+    epilogue: str = "auto"
     # Host-sync policy: "evict" runs a device-side while_loop that freezes
     # each model at its convergence point and returns only when something is
     # ready to evict (amortizes host round-trips, trajectories unchanged);

@@ -177,6 +177,55 @@ def _fast_error_compensated(
     return jnp.sqrt(err2).astype(dtype)
 
 
+def fast_error_from_cols(
+    x_norm: Array,
+    lam: Array,
+    t3_hi: Array,
+    t3_lo: Array,
+    gramian_hadamard: Array,
+) -> Array:
+    """FastALS error from precomputed term-3 column sums.
+
+    The fused epilogue kernel (ops/pallas_epilogue.py) emits the O(B*I*R)
+    inner products Σ_i U_N[i,j]·G_last[i,j] per column as double-float
+    (hi, lo) pairs [..., R] while U and G are still in VMEM; this finishes
+    the FastALS formula (error.cpp:64-89) on the remaining tiny terms.
+    """
+    dt = error_dtype()
+    if jnp.dtype(dt) == jnp.float64:
+        lam64 = lam.astype(dt)
+        t3 = jnp.sum(
+            lam64 * (t3_hi.astype(dt) + t3_lo.astype(dt)), axis=-1
+        )
+        term2 = jnp.einsum(
+            "...i,...j,...ij->...", lam64, lam64, gramian_hadamard.astype(dt)
+        )
+        xn = jnp.asarray(x_norm, dt)
+        err2 = jnp.maximum(xn * xn + term2 - 2.0 * t3, 0.0)
+        return jnp.sqrt(err2).astype(lam.dtype)
+
+    dtype = lam.dtype
+    x_norm = jnp.asarray(x_norm, dtype)
+    # term3 = Σ_j lam_j * (t3_hi + t3_lo)_j, exactly.
+    p, e = _two_prod(lam, t3_hi)
+    t3 = _df_sum(p, e + lam * t3_lo)
+    # term2 as in _fast_error_compensated.
+    ll_hi, ll_lo = _two_prod(
+        jnp.broadcast_to(lam[..., :, None], gramian_hadamard.shape),
+        jnp.broadcast_to(lam[..., None, :], gramian_hadamard.shape),
+    )
+    q_hi, q_lo = _two_prod(ll_hi, gramian_hadamard)
+    t2 = _df_sum(
+        q_hi.reshape(*q_hi.shape[:-2], -1),
+        (q_lo + ll_lo * gramian_hadamard).reshape(*q_hi.shape[:-2], -1),
+    )
+    xn2 = _two_prod(x_norm, x_norm)
+    acc = _df_add(xn2, t2)
+    acc = _df_add(acc, (-2.0 * t3[0], -2.0 * t3[1]))
+    err2 = jnp.maximum(acc[0] + acc[1], 0.0)
+    return jnp.sqrt(err2).astype(dtype)
+
+
 def reconstruction_error(x: Array, kt: Ktensor) -> Array:
     """|X - full(kt)| by dense reconstruction (test oracle)."""
     xhat = to_tensor(denormalize(kt))

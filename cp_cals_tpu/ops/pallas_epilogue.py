@@ -1,0 +1,335 @@
+"""Fused per-mode ALS epilogue as Pallas TPU kernels.
+
+After each mode's MTTKRP the iteration runs a chain of small batched ops
+(reference: the per-model OpenMP loop `/root/reference/src/cals.cpp:239-256`
+— hadamard_but_one, dpotrf+dtrsm, JK fiber zero, normalize, update_gramian):
+
+    H     = padded_hadamard(hadamard_but_one(grams, n))     [B, R, R]
+    U     = G @ H^-1                                         [B, I, R]
+    U     = jk_zero_row(U)             (mode 0)
+    F,lam = normalize_mode(U)                               (+ gramian)
+    Gm    = F^T F                                            [B, R, R]
+
+Measured on the v5e, XLA executes this as ~6 separate small-op regions per
+mode totalling ~0.24 ms at the bench shape (B=96, R=20) — about half of
+every CALS iteration (docs/PROFILE.md; VERDICT r2 weak #1).  The two
+kernels here collapse the chain into:
+
+* ``normal_inverse_pallas`` — ONE grid step, models on VPU *lanes*
+  ([R, R, B] layout): hadamard product of the other modes' gramians, padded
+  diagonal fix-up, and a statically-unrolled Gauss-Jordan inverse, entirely
+  in VMEM. No pivoting: SPD pivots are positive Schur-complement diagonals
+  (same stability class as the reference's unpivoted dpotrf,
+  update.cpp:178-186).
+* ``epilogue_apply_pallas`` — grid over model blocks: per model, the
+  G @ H^-1 MXU matmul, jackknife row zero, iteration-dependent normalize
+  (L2 on iteration 1 / signed-max after, reference ktensor.cpp:66-83), the
+  normalized factor's raw gramian (MXU), and — on the last mode — the
+  error-term column sums Σ_i F[i,j]·G[i,j] in compensated double-float
+  (TwoProd + pairwise df folds, see ops/error.py), so the FastALS error
+  needs no extra pass over [B, I, R] data.
+
+HBM traffic per mode drops from ~6 passes over the [B, I, R] factor to one
+read (G) + one write (F); everything in between lives in VMEM.
+
+The XLA path (ops/update.py + ktensor.normalize_factor_fused) remains the
+numerical oracle and the everywhere-else implementation; equivalence is
+tested in interpret mode (tests/test_pallas_epilogue.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: fused hadamard-but-one + padded diagonal + Gauss-Jordan inverse
+# ---------------------------------------------------------------------------
+
+
+def _hinv_kernel(grams_ref, mask_ref, out_ref, *, r, k):
+    """grams_ref: [K, R, R, LB] other-mode gramians, models on lanes.
+    mask_ref:  [R, LB] float rank mask (1 real column, 0 padded).
+    out_ref:   [R, R, LB] inverse of the masked normal matrix.
+    """
+    h = grams_ref[0]
+    for i in range(1, k):
+        h = h * grams_ref[i]
+    m = mask_ref[...]  # [R, LB]
+    # padded_hadamard (ops/update.py): zero padded rows/cols, 1 on their
+    # diagonal so the system stays SPD and padded solutions stay zero.
+    row = jax.lax.broadcasted_iota(jnp.int32, (r, r, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, r, 1), 1)
+    eye = (row == col).astype(h.dtype)
+    h = h * m[:, None, :] * m[None, :, :] + eye * (1.0 - m[None, :, :])
+
+    a = h
+    inv = jnp.broadcast_to(eye, a.shape)
+    for j in range(r):
+        rd = 1.0 / a[j, j, :]  # [LB]
+        arow = a[j] * rd[None, :]  # [R, LB]
+        irow = inv[j] * rd[None, :]
+        cj = a[:, j, :]  # [R, LB]
+        is_j = row[:, :1] == j  # [R, 1, 1] -> broadcasts over [R, R, LB]
+        a = jnp.where(is_j, arow[None], a - cj[:, None, :] * arow[None])
+        inv = jnp.where(is_j, irow[None], inv - cj[:, None, :] * irow[None])
+    out_ref[...] = inv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("skip", "interpret")
+)
+def normal_inverse_pallas(
+    grams: tuple, rank_mask: Array, skip: int, interpret: bool = False
+) -> Array:
+    """H^-1 of padded_hadamard(hadamard_but_one(grams, skip), rank_mask).
+
+    grams: per-mode [B, R, R]; rank_mask: [B, R] bool. Returns [B, R, R].
+    """
+    others = [g for i, g in enumerate(grams) if i != skip]
+    k = len(others)
+    b, r, _ = others[0].shape
+    bp = _round_up(b, _LANES)
+    # [K, R, R, B] with models on lanes; pad lanes with identity (pivot 1,
+    # elimination a no-op there).
+    gt = jnp.stack([jnp.transpose(g, (1, 2, 0)) for g in others])
+    mt = jnp.transpose(rank_mask.astype(gt.dtype), (1, 0))  # [R, B]
+    if bp != b:
+        eye = jnp.broadcast_to(
+            jnp.eye(r, dtype=gt.dtype)[None, :, :, None], (k, r, r, bp - b)
+        )
+        gt = jnp.concatenate([gt, eye], axis=3)
+        mt = jnp.concatenate(
+            [mt, jnp.ones((r, bp - b), mt.dtype)], axis=1
+        )
+    out = pl.pallas_call(
+        functools.partial(_hinv_kernel, r=r, k=k),
+        grid=(bp // _LANES,),
+        in_specs=[
+            pl.BlockSpec(
+                (k, r, r, _LANES), lambda i: (0, 0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (r, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (r, r, _LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((r, r, bp), gt.dtype),
+        interpret=interpret,
+    )(gt, mt)
+    return jnp.transpose(out[:, :, :b], (2, 0, 1))
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: apply + jackknife zero + normalize + gramian (+ error columns)
+# ---------------------------------------------------------------------------
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _two_prod(a, b):
+    c = jnp.asarray(4097.0, a.dtype)  # 2^ceil(24/2)+1 splitter for f32
+    ca = c * a
+    a_hi = ca - (ca - a)
+    a_lo = a - a_hi
+    cb = c * b
+    b_hi = cb - (cb - b)
+    b_lo = b - b_hi
+    p = a * b
+    e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, e
+
+
+def _df_add(xh, xl, yh, yl):
+    s, e = _two_sum(xh, yh)
+    lo = e + xl + yl
+    hi = s + lo
+    return hi, lo - (hi - s)
+
+
+def _df_fold_rows(hi, lo):
+    """Pairwise double-float fold over axis 0 (static halving, no pads)."""
+    while hi.shape[0] > 1:
+        n = hi.shape[0]
+        h = n // 2
+        if n % 2:  # fold the odd row into row 0 first
+            hi0, lo0 = _df_add(hi[:1], lo[:1], hi[n - 1 : n], lo[n - 1 : n])
+            hi = jnp.concatenate([hi0, hi[1 : n - 1]], axis=0)
+            lo = jnp.concatenate([lo0, lo[1 : n - 1]], axis=0)
+            n -= 1
+            h = n // 2
+        hi, lo = _df_add(hi[:h], lo[:h], hi[h:n], lo[h:n])
+    return hi, lo  # [1, R]
+
+
+def _apply_kernel(
+    g_ref, hinv_ref, iters_ref, jk_ref, *out_refs,
+    mb, i_n, r, zero_jk, with_err, precision,
+):
+    """Per model-block epilogue. Block shapes:
+    g_ref [MB, I, R], hinv_ref [MB, R, R], iters_ref/jk_ref [MB, 1] (SMEM),
+    f_ref [MB, I, R], lam_ref [MB, R], gm_ref [MB, R, R],
+    t3*_ref [MB, R] (error column sums, last mode only).
+    """
+    f_ref, lam_ref, gm_ref = out_refs[:3]
+    if with_err:
+        t3hi_ref, t3lo_ref = out_refs[3:]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (i_n, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
+    eye_rr = (jax.lax.broadcasted_iota(jnp.int32, (r, r), 0) == col)
+    for m in range(mb):
+        g_m = g_ref[m]  # [I, R]
+        hv = hinv_ref[m]  # [R, R], symmetric (SPD inverse)
+        u = jax.lax.dot_general(
+            g_m, hv, (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=g_m.dtype,
+        )
+        if zero_jk:
+            fiber = jk_ref[m, 0]
+            u = jnp.where((row_ids == fiber) & (fiber >= 0), 0.0, u)
+        gm = jax.lax.dot_general(
+            u, u, (((0,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=u.dtype,
+        )  # [R, R]
+        diag = jnp.sum(
+            jnp.where(eye_rr, gm, 0.0), axis=0, keepdims=True
+        )  # [1, R]
+        l2 = jnp.sqrt(jnp.abs(diag))
+        mx = jnp.max(u, axis=0, keepdims=True)
+        mn = jnp.min(u, axis=0, keepdims=True)
+        maxval = jnp.where(mx >= -mn, mx, mn)  # signed max magnitude
+        lam = jnp.where(iters_ref[m, 0] == 1, l2, maxval)  # [1, R]
+        safe = jnp.where(lam != 0.0, lam, 1.0)
+        f = u / safe
+        f_ref[m] = f
+        lam_ref[pl.ds(m, 1), :] = lam
+        gm_ref[m] = gm
+        if with_err:
+            # t3 column sums Σ_i F[i,j] * G[i,j] in double-float — the
+            # O(B·I·R) part of the FastALS error (ops/error.py), done here
+            # while F and G are in VMEM.
+            p, e = _two_prod(f, g_m)
+            hi, lo = _df_fold_rows(p, e)
+            t3hi_ref[pl.ds(m, 1), :] = hi
+            t3lo_ref[pl.ds(m, 1), :] = lo
+
+
+def _pick_mb(b: int, i_pad: int, r_pad: int) -> int:
+    """Largest model-block size that divides B and keeps the kernel's VMEM
+    working set (g in + f out, double-buffered) comfortably under budget."""
+    budget = 8 * 1024 * 1024  # bytes, conservative half of VMEM
+    for mb in (16, 8, 4, 2, 1):
+        if b % mb == 0 and 4 * mb * i_pad * r_pad * 4 <= budget:
+            return mb
+    return 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("zero_jk", "with_err", "precision", "interpret"),
+)
+def epilogue_apply_pallas(
+    g: Array,
+    hinv: Array,
+    iters: Array,
+    jk_fiber: Array,
+    zero_jk: bool,
+    with_err: bool,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+):
+    """Fused U = G·H^-1 -> JK zero -> normalize -> gramian (+ error cols).
+
+    g [B, I, R], hinv [B, R, R], iters [B] int32, jk_fiber [B] int32.
+    Returns (f [B, I, R], lam [B, R], gm_raw [B, R, R], t3) where t3 is
+    (hi [B, R], lo [B, R]) when with_err else None. gm_raw is the gramian
+    of the NORMALIZED factor times safe outer safe — callers rescale (a
+    tiny [B, R, R] op) to get the normalized gramian, matching
+    ktensor.normalize_factor_fused.
+    """
+    b, i_n, r = g.shape
+    i_pad = _round_up(i_n, 8)
+    r_pad = _round_up(r, _LANES)
+    mb = _pick_mb(b, i_pad, r_pad)
+    grid = (b // mb,)
+    it2 = iters.astype(jnp.int32).reshape(b, 1)
+    jk2 = jnp.asarray(jk_fiber, jnp.int32).reshape(b, 1)
+
+    kernel = functools.partial(
+        _apply_kernel, mb=mb, i_n=i_n, r=r,
+        zero_jk=zero_jk, with_err=with_err, precision=precision,
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, i_n, r), g.dtype),  # f
+        jax.ShapeDtypeStruct((b, r), g.dtype),  # lam
+        jax.ShapeDtypeStruct((b, r, r), g.dtype),  # gm_raw
+    ]
+    out_specs = [
+        pl.BlockSpec((mb, i_n, r), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((mb, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((mb, r, r), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if with_err:
+        out_shapes += [
+            jax.ShapeDtypeStruct((b, r), g.dtype),  # t3 hi
+            jax.ShapeDtypeStruct((b, r), g.dtype),  # t3 lo
+        ]
+        out_specs += [
+            pl.BlockSpec((mb, r), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mb, r), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((mb, i_n, r), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mb, r, r), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((mb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(g, hinv, it2, jk2)
+    f, lam, gm_raw = outs[:3]
+    return f, lam, gm_raw, (tuple(outs[3:]) if with_err else None)
+
+
+def supports_fused_epilogue(b: int, i_n: int, r: int, dtype) -> bool:
+    """Static gate: shapes/dtype the fused kernels are written for."""
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    if r > _LANES:
+        return False
+    i_pad = _round_up(i_n, 8)
+    # one model's in+out tiles must fit the conservative VMEM budget
+    return 4 * i_pad * _round_up(r, _LANES) * 4 <= 8 * 1024 * 1024

@@ -36,9 +36,14 @@ from ..ktensor import (
     normalize_full,
     scale_jk_rows,
 )
-from ..ops.error import fast_error
+from ..ops.error import fast_error, fast_error_from_cols
 from ..ops.gramians import gramians, hadamard_all, hadamard_but_one
 from ..ops.mttkrp import mttkrp, mttkrp_batched
+from ..ops.pallas_epilogue import (
+    epilogue_apply_pallas,
+    normal_inverse_pallas,
+    supports_fused_epilogue,
+)
 from ..ops.update import (
     padded_hadamard,
     update_factor_nnls,
@@ -98,6 +103,19 @@ def make_iteration(
     precision = resolve_precision(params.precision)
     nnls = params.update_method == UpdateMethod.NNLS
     default_method = params.mttkrp_method.value
+    # Fused Pallas epilogue (solve + normalize + gramian + error columns in
+    # VMEM, ops/pallas_epilogue.py): "auto" uses it on TPU for batched
+    # unconstrained updates; "fused" forces it (interpret mode off-TPU, the
+    # test configuration); "xla" keeps the unfused oracle path.
+    epilogue = getattr(params, "epilogue", "auto")
+    on_tpu = jax.default_backend() == "tpu"
+    want_fused = (
+        batched
+        and not nnls
+        and epilogue != "xla"
+        and (epilogue == "fused" or on_tpu)
+    )
+    fused_interpret = not on_tpu
 
     def resolve_methods(x) -> tuple[str, ...]:
         if mttkrp_methods is not None:
@@ -142,38 +160,73 @@ def make_iteration(
 
         # ------------------------------------------------------ mode sweep
         g_last = None
+        t3_last = None
         for n in range(n_modes):
             g = do_mttkrp(x, kt.factors, n, prepared)
             if n == n_modes - 1:
                 g_last = g  # saved for the fast-error formula (als.cpp:174-179)
-            h = padded_hadamard(hadamard_but_one(grams, n), state.rank_mask)
-            if nnls:
-                u, act_n = update_factor_nnls(
-                    g, h, active[n], params.nnls_max_outer,
-                    params.nnls_algorithm,
+            use_fused = want_fused and supports_fused_epilogue(
+                g.shape[0], g.shape[1], g.shape[2], g.dtype
+            )
+            if use_fused:
+                # Fused Pallas epilogue: hadamard+inverse lane-batched, then
+                # apply + JK zero + normalize + gramian (+ error columns on
+                # the last mode) per model block, all in VMEM.
+                hinv = normal_inverse_pallas(
+                    grams, state.rank_mask, n, interpret=fused_interpret
                 )
-                active = active[:n] + (act_n,) + active[n + 1 :]
+                f_new, lam_new, gm_raw, t3 = epilogue_apply_pallas(
+                    g, hinv, iters, state.jk_fiber,
+                    zero_jk=(n == 0 and has_jk),
+                    with_err=(n == n_modes - 1),
+                    precision=precision,
+                    interpret=fused_interpret,
+                )
+                if t3 is not None:
+                    t3_last = t3
+                safe = jnp.where(lam_new != 0, lam_new, 1.0)
+                gm = gm_raw / (safe[..., :, None] * safe[..., None, :])
             else:
-                u = update_factor_unconstrained(
-                    g, h, solve=params.solve_method
+                h = padded_hadamard(
+                    hadamard_but_one(grams, n), state.rank_mask
                 )
-            if n == 0 and has_jk:
-                # Jackknife: re-zero the left-out sample's row after every
-                # mode-0 update (reference cals.cpp:250-251). Mode-0 JK only,
-                # as used by the reference's jackknife drivers.
-                u = scale_jk_rows(u, state.jk_fiber, 0.0)
-            # Fused normalize + gramian (normalize_mode semantics; L2 norms
-            # from the gramian diagonal, normalized gramian by rescale).
-            f_new, lam_new, gm = normalize_factor_fused(u, iters, precision)
+                if nnls:
+                    u, act_n = update_factor_nnls(
+                        g, h, active[n], params.nnls_max_outer,
+                        params.nnls_algorithm,
+                    )
+                    active = active[:n] + (act_n,) + active[n + 1 :]
+                else:
+                    u = update_factor_unconstrained(
+                        g, h, solve=params.solve_method
+                    )
+                if n == 0 and has_jk:
+                    # Jackknife: re-zero the left-out sample's row after
+                    # every mode-0 update (reference cals.cpp:250-251).
+                    # Mode-0 JK only, as the reference's drivers use.
+                    u = scale_jk_rows(u, state.jk_fiber, 0.0)
+                # Fused normalize + gramian (normalize_mode semantics; L2
+                # norms from the gramian diagonal, normalized gramian by
+                # rescale).
+                f_new, lam_new, gm = normalize_factor_fused(
+                    u, iters, precision
+                )
             kt = Ktensor(
                 kt.factors[:n] + (f_new,) + kt.factors[n + 1 :], lam_new
             )
             grams = grams[:n] + (gm,) + grams[n + 1 :]
 
         # ------------------------------------------------------ fast error
-        err = fast_error(
-            state.x_norm_model, kt.lam, kt.factors[-1], g_last, hadamard_all(grams)
-        )
+        if t3_last is not None:
+            err = fast_error_from_cols(
+                state.x_norm_model, kt.lam, t3_last[0], t3_last[1],
+                hadamard_all(grams),
+            )
+        else:
+            err = fast_error(
+                state.x_norm_model, kt.lam, kt.factors[-1], g_last,
+                hadamard_all(grams),
+            )
         old_fit = state.fit
         # Fit always uses the FULL tensor norm, even for jackknife models
         # whose error uses the leave-one-out norm (reference cals.cpp:295-301).

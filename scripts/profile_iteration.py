@@ -70,6 +70,8 @@ def main():
                         "solve, gramian, normalize, df64 error)")
     p.add_argument("--precisions", default="high",
                    help="comma list of matmul precisions to profile")
+    p.add_argument("--epilogue", default="auto",
+                   help="iteration epilogue: auto | fused | xla")
     args = p.parse_args()
 
     from cp_cals_tpu.config import CalsParams, resolve_precision
@@ -127,7 +129,8 @@ def main():
     # ---- full production iteration (state chained on itself) -----------
     if not args.skip_iteration:
         params = CalsParams(precision="high", force_max_iter=True,
-                            max_iterations=10**9)
+                            max_iterations=10**9,
+                            epilogue=args.epilogue)
         iteration = make_iteration(params, batched=True)
         prepared = iteration.prepare(x)
         state0 = init_state(kt, x_norm)
