@@ -153,7 +153,16 @@ def main():
         line_search=False,
         # bf16_3x matmul passes: f32-equivalent accuracy for this workload
         # (measured: mean fit matches "highest" to ~1e-4 at 1.26x speed).
-        precision="high",
+        precision=os.environ.get("BENCH_PRECISION", "high"),
+        # MTTKRP (95% of iteration FLOPs) at 1-pass bf16: 2.4x faster
+        # iteration (0.55 vs 1.33 ms, docs/PROFILE.md r3); fidelity vs the
+        # fp64 oracle quantified in data/benchmarks/convergence_*.json and
+        # the bench's own mean_fit (delta ~1e-4 on this workload).
+        mttkrp_precision=os.environ.get("BENCH_MTTKRP_PRECISION", "default"),
+        # Converged models get 2 full-precision refinement sweeps before
+        # extraction (masked; in-flight models untouched) — recovers the
+        # bf16-tier fit deficit (mean_fit matches the all-"high" run).
+        polish_iters=int(os.environ.get("BENCH_POLISH", "2")),
         sync_mode="evict",
     )
 

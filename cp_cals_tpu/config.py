@@ -85,6 +85,12 @@ class AlsParams:
     nnls_algorithm: str = "bpp"
     # Matmul precision for factor-path einsums ("highest" = fp32 accum on MXU).
     precision: str = "highest"
+    # MTTKRP-only precision override (None = use `precision`). The MTTKRP
+    # is ~95% of iteration FLOPs; measured on the v5e, "default" (1-pass
+    # bf16) runs it 4x faster than "high" (bf16_3x) at 131-192 TF/s
+    # (data/benchmarks/pallas_tune.json). Fidelity vs the fp64 oracle is
+    # quantified in data/benchmarks/convergence_tpu_mttkrp_default.json.
+    mttkrp_precision: Optional[str] = None
     # Normal-matrix solve: "gj" (statically-unrolled Gauss-Jordan inverse,
     # fastest on TPU for the tiny [B, R, R] systems), "chol" (XLA Cholesky,
     # the reference's dpotrf+dtrsm analog), or "pallas" (lane-batched
@@ -126,6 +132,16 @@ class CalsParams:
     nnls_max_outer: int = 0
     nnls_algorithm: str = "bpp"
     precision: str = "highest"
+    # MTTKRP-only precision override (see AlsParams.mttkrp_precision).
+    mttkrp_precision: Optional[str] = None
+    # Mixed-precision refinement: when > 0 and mttkrp_precision is a lower
+    # tier, models that converge at the fast tier get this many extra
+    # full-`precision` ALS sweeps (masked to converged slots only) before
+    # extraction — iterative refinement on the ALS fixed point. Restores
+    # the bf16-tier fit deficit at negligible cost (a couple of iterations
+    # per eviction round). Reported iters exclude polish sweeps; evict-mode
+    # only. TPU-native extension (no reference analog).
+    polish_iters: int = 0
     # Normal-matrix solve: "gj" / "chol" / "pallas" (see AlsParams).
     solve_method: str = "gj"
     # Per-mode epilogue: "auto" / "fused" / "xla" (see AlsParams).

@@ -269,6 +269,13 @@ def epilogue_apply_pallas(
     ktensor.normalize_factor_fused.
     """
     b, i_n, r = g.shape
+    # Mosaic supports only DEFAULT/HIGHEST dot precision; the in-kernel
+    # matmuls are a rounding-error share of the iteration's FLOPs, so HIGH
+    # (bf16_3x) promotes to HIGHEST (full f32) rather than demoting.
+    if precision not in (
+        jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST
+    ):
+        precision = jax.lax.Precision.HIGHEST
     i_pad = _round_up(i_n, 8)
     r_pad = _round_up(r, _LANES)
     mb = _pick_mb(b, i_pad, r_pad)

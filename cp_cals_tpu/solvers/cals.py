@@ -104,11 +104,41 @@ def _jitted_programs(
         st = out[0] if traced else out
         return out, _pack_evict_stats(st)
 
+    polish = None
+    if getattr(params, "polish_iters", 0):
+        # Mixed-precision refinement (config.polish_iters): converged
+        # models get P extra full-precision sweeps, masked so in-flight
+        # models are untouched; converged flags and reported iters are
+        # preserved (polish is refinement of a finished model, not ALS
+        # progress). Line search is disabled inside polish so a blind NEC
+        # extrapolation can't leave an unreverted candidate as the result.
+        import dataclasses
+
+        pparams = dataclasses.replace(
+            params, mttkrp_precision=None, line_search=False
+        )
+        p_iter = make_iteration(
+            pparams, batched=True, mttkrp_methods=methods, has_jk=has_jk
+        )
+        n_polish = params.polish_iters
+
+        def polish_stats(x, state, x_norm):
+            prepared = p_iter.prepare(x)
+            s = state
+            for _ in range(n_polish):
+                s = p_iter(x, s, x_norm, prepared)
+            s = s._replace(converged=state.converged, iters=state.iters)
+            sel = state.converged & state.alive
+            out = tree_where(sel, s, state)
+            return out, _pack_evict_stats(out)
+
+        polish = jax.jit(polish_stats)
+
     # NOTE: state donation (donate_argnums=(1,)) is NOT safe here — the
     # state pytree aliases leaves at rest (ls.prev/ls.backup start as the
     # same buffers as kt; fresh slot states share zeros), and XLA rejects
     # donating one buffer twice.
-    return jax.jit(step_stats), jax.jit(run_stats)
+    return jax.jit(step_stats), jax.jit(run_stats), polish
 
 
 def _queue_dtype(queue):
@@ -543,7 +573,9 @@ def precompile_buckets(
             methods = lookup_methods(x.shape, r, b)
         else:
             methods = None
-        step, run_until_evict = _jitted_programs(params, methods, False, has_jk)
+        step, run_until_evict, polish = _jitted_programs(
+            params, methods, False, has_jk
+        )
         # Warm-up state that terminates after ONE real iteration: an
         # all-False rank_mask gives an identity normal matrix (no NaN
         # Cholesky) and fit pinned at 0, and iters = max_iterations - 1
@@ -576,6 +608,8 @@ def precompile_buckets(
             out, stats = run_until_evict(x, state, jnp.asarray(1.0, dtype))
         else:
             out, stats = step(x, state, jnp.asarray(1.0, dtype))
+        if polish is not None:
+            out, stats = polish(x, out, jnp.asarray(1.0, dtype))
         # Warm the small per-bucket-shape programs the engine loop uses
         # (each costs a 1-4 s remote-compile round trip if left to compile
         # serially on first dispatch): full-block eviction gather, the
@@ -598,9 +632,9 @@ def precompile_buckets(
                 flat, meta, out, np.zeros((b,), bool)
             )
         _fetch(stats)  # sync (stats packing is fused into the programs)
-        return step, run_until_evict, out
+        return step, run_until_evict, polish, out
 
-    def compile_ladder(step, run_until_evict, state, b):
+    def compile_ladder(step, run_until_evict, polish, state, b):
         # Tail-compaction shapes: the drain phase repacks live slots into a
         # half-size batch up to tail_compaction_depth times, and each level
         # needs its own run/step + eviction-gather + alive-mask programs.
@@ -620,6 +654,8 @@ def precompile_buckets(
                 state, stats = run_until_evict(x, state, jnp.asarray(1.0, dtype))
             else:
                 state, stats = step(x, state, jnp.asarray(1.0, dtype))
+            if polish is not None:
+                state, stats = polish(x, state, jnp.asarray(1.0, dtype))
             _gather_kt(state.kt, np.arange(bb, dtype=np.int32))
             _mask_alive(state, np.ones((bb,), bool))
             _fetch(stats)
@@ -786,7 +822,7 @@ def cp_cals(
         else:
             methods = None
         traced = trace is not None and use_blocks
-        step, run_until_evict = _jitted_programs(
+        step, run_until_evict, polish = _jitted_programs(
             params, methods, traced, has_jk
         )
         slot_meta: list[tuple[int, int, int] | None] = [None] * b  # (id, rank, jk)
@@ -1033,6 +1069,11 @@ def cp_cals(
                     state, tbuf, tk = out
                 else:
                     state = out
+                if polish is not None:
+                    # Mixed-precision refinement of the converged slots
+                    # (config.polish_iters) before their stats/factors are
+                    # extracted; in-flight slots pass through untouched.
+                    state, stats_d = polish(x, state, x_norm)
             else:
                 state, stats_d = step(x, state, x_norm)
                 engine_iters += 1
@@ -1052,13 +1093,18 @@ def cp_cals(
 
                 k = int(tk)
                 rows = _fetch(tbuf)[:k]
+                # Useful FLOPs follow the DEVICE-side active-column counter
+                # (reference cals.cpp:213-217,269-275 records actual active
+                # columns, not buffer capacity): per-column rate at the
+                # bucket's padded rank x live true columns this iteration.
+                flops_per_col = als_iteration_flops(x.shape, r, 1) / r
                 for j, (n_live, n_cols) in enumerate(rows):
                     trace.add(
                         IterationRecord(
                             iteration=engine_iters + j + 1,
                             active_models=int(n_live),
                             active_columns=int(n_cols),
-                            flops=als_iteration_flops(x.shape, r, b),
+                            flops=int(flops_per_col * int(n_cols)),
                             wall_s=dt_solve / max(k, 1),
                             bucket=r,
                         )
@@ -1071,12 +1117,17 @@ def cp_cals(
                 from ..utils.timers import IterationRecord
 
                 live = [m for m in slot_meta if m is not None]
+                n_cols = sum(m[1] for m in live)
                 trace.add(
                     IterationRecord(
                         iteration=engine_iters,
                         active_models=len(live),
-                        active_columns=sum(m[1] for m in live),
-                        flops=als_iteration_flops(x.shape, r, b),
+                        active_columns=n_cols,
+                        # Useful FLOPs at actual live columns (reference
+                        # cals.cpp:213-217 semantics), not buffer capacity.
+                        flops=int(
+                            als_iteration_flops(x.shape, r, 1) / r * n_cols
+                        ),
                         wall_s=_time.perf_counter() - _t0,
                         bucket=r,
                     )

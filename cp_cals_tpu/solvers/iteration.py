@@ -101,6 +101,12 @@ def make_iteration(
     jackknife models — the engine knows this statically at intake.
     """
     precision = resolve_precision(params.precision)
+    # MTTKRP-only precision tier (config.mttkrp_precision): the MTTKRP is
+    # ~95% of iteration FLOPs and bf16 "default" runs it ~4x faster than
+    # "high" on the v5e MXU (docs/PROFILE.md round-3 ablation).
+    mttkrp_prec = resolve_precision(
+        getattr(params, "mttkrp_precision", None) or params.precision
+    )
     nnls = params.update_method == UpdateMethod.NNLS
     default_method = params.mttkrp_method.value
     # Fused Pallas epilogue (solve + normalize + gramian + error columns in
@@ -139,10 +145,10 @@ def make_iteration(
         method = resolve_methods(x)[n]
         if batched:
             return mttkrp_batched(
-                x, factors, n, method, precision,
+                x, factors, n, method, mttkrp_prec,
                 prepared[n] if prepared is not None else None,
             )
-        return mttkrp(x, factors, n, method, precision)
+        return mttkrp(x, factors, n, method, mttkrp_prec)
 
     def iteration(
         x: Array, state: SolverState, x_norm_full: Array, prepared=None

@@ -39,6 +39,10 @@ def main():
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--max-iter", type=int, default=500)
     p.add_argument("--precision", default="highest")
+    p.add_argument("--mttkrp-precision", default=None,
+                   help="MTTKRP-only precision tier override")
+    p.add_argument("--tag", default=None,
+                   help="output suffix (default: f64 oracle / tpu)")
     args = p.parse_args()
 
     import jax
@@ -84,6 +88,7 @@ def main():
         max_iterations=args.max_iter,
         bucket_ranks=(4, 8),
         precision=args.precision,
+        mttkrp_precision=args.mttkrp_precision,
         sync_mode="evict",
     )
 
@@ -92,11 +97,12 @@ def main():
     results, rep = cp_cals(x, queue, params)
     wall = time.perf_counter() - t0
 
-    tag = "f64" if args.oracle else "tpu"
+    tag = args.tag or ("f64" if args.oracle else "tpu")
     out = {
         "device": str(jax.devices()[0]),
         "dtype": str(jnp.dtype(dtype)),
         "precision": args.precision,
+        "mttkrp_precision": args.mttkrp_precision,
         "tol": args.tol,
         "wall_s": round(wall, 3),
         "models": [

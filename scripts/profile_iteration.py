@@ -72,6 +72,8 @@ def main():
                    help="comma list of matmul precisions to profile")
     p.add_argument("--epilogue", default="auto",
                    help="iteration epilogue: auto | fused | xla")
+    p.add_argument("--mttkrp-precision", default=None,
+                   help="MTTKRP-only precision override")
     args = p.parse_args()
 
     from cp_cals_tpu.config import CalsParams, resolve_precision
@@ -130,7 +132,8 @@ def main():
     if not args.skip_iteration:
         params = CalsParams(precision="high", force_max_iter=True,
                             max_iterations=10**9,
-                            epilogue=args.epilogue)
+                            epilogue=args.epilogue,
+                            mttkrp_precision=args.mttkrp_precision)
         iteration = make_iteration(params, batched=True)
         prepared = iteration.prepare(x)
         state0 = init_state(kt, x_norm)
