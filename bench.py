@@ -169,6 +169,9 @@ def main():
     # Warmup: compile all bucket programs in parallel threads, then one
     # full run to populate the remaining small programs.
     from cp_cals_tpu.solvers.cals import precompile_buckets
+    from cp_cals_tpu.utils import lut
+
+    lut.reset_lookup_stats()
 
     t0 = time.perf_counter()
     precompile_buckets(x, queue, params)
@@ -227,6 +230,11 @@ def main():
         "materialize_s": round(mat_s, 3),
         "useful_gflops": round(useful_flops / 1e9, 1),
         "device": str(jax.devices()[0]),
+        # MTTKRP dispatch sources (VERDICT r2 #3): every per-mode method
+        # decision this process made, by origin — exact LUT entry /
+        # nearest-measured-B*R entry / shape heuristic. The committed grid
+        # (scripts/tune_lut_grid.py) keeps the bench at 100% exact.
+        "lut_dispatch": dict(lut.LOOKUP_STATS),
     }
     # Fraction-of-roofline (VERDICT r1 #3): mfu counts algorithmic FLOPs
     # against the chip's bf16 peak; mxu_util additionally counts the 3

@@ -96,15 +96,7 @@ def _jitted_programs(
         out = iteration(x, state, x_norm)
         return out, _pack_evict_stats(out)
 
-    def run_stats(x, state, x_norm):
-        out = run(x, state, x_norm)
-        # (out is (state, tracebuf, k) in traced mode, a bare SolverState
-        # otherwise — SolverState is a NamedTuple, so test traced, not
-        # isinstance(tuple).)
-        st = out[0] if traced else out
-        return out, _pack_evict_stats(st)
-
-    polish = None
+    polish_body = None
     if getattr(params, "polish_iters", 0):
         # Mixed-precision refinement (config.polish_iters): converged
         # models get P extra full-precision sweeps, masked so in-flight
@@ -112,6 +104,10 @@ def _jitted_programs(
         # preserved (polish is refinement of a finished model, not ALS
         # progress). Line search is disabled inside polish so a blind NEC
         # extrapolation can't leave an unreverted candidate as the result.
+        # FUSED into the run-until-evict program (not a separate dispatch):
+        # a standalone polish program cost one extra device round trip per
+        # eviction round — ~30 ms on remote-attached backends — plus its
+        # own compile per bucket shape.
         import dataclasses
 
         pparams = dataclasses.replace(
@@ -122,23 +118,31 @@ def _jitted_programs(
         )
         n_polish = params.polish_iters
 
-        def polish_stats(x, state, x_norm):
+        def polish_body(x, state, x_norm):
             prepared = p_iter.prepare(x)
             s = state
             for _ in range(n_polish):
                 s = p_iter(x, s, x_norm, prepared)
             s = s._replace(converged=state.converged, iters=state.iters)
             sel = state.converged & state.alive
-            out = tree_where(sel, s, state)
-            return out, _pack_evict_stats(out)
+            return tree_where(sel, s, state)
 
-        polish = jax.jit(polish_stats)
+    def run_stats(x, state, x_norm):
+        out = run(x, state, x_norm)
+        # (out is (state, tracebuf, k) in traced mode, a bare SolverState
+        # otherwise — SolverState is a NamedTuple, so test traced, not
+        # isinstance(tuple).)
+        st = out[0] if traced else out
+        if polish_body is not None:
+            st = polish_body(x, st, x_norm)
+            out = (st,) + tuple(out[1:]) if traced else st
+        return out, _pack_evict_stats(st)
 
     # NOTE: state donation (donate_argnums=(1,)) is NOT safe here — the
     # state pytree aliases leaves at rest (ls.prev/ls.backup start as the
     # same buffers as kt; fresh slot states share zeros), and XLA rejects
     # donating one buffer twice.
-    return jax.jit(step_stats), jax.jit(run_stats), polish
+    return jax.jit(step_stats), jax.jit(run_stats)
 
 
 def _queue_dtype(queue):
@@ -320,6 +324,46 @@ def _gather_kt(kt: Ktensor, idx: Array) -> Ktensor:
     per-leaf fancy-index alternative compiled ~10 tiny programs per
     distinct eviction width and paid a dispatch round trip each)."""
     return jax.tree.map(lambda leaf: leaf[idx], kt)
+
+
+# Quantum for packed-column eviction gathers: index lengths round up to a
+# multiple of this so the number of distinct compiled gather programs stays
+# bounded while the padding overhead stays < 128 columns (~0.3 MB fetch).
+_COL_QUANTUM = 128
+
+
+@jax.jit
+def _gather_cols(kt: Ktensor, slot_idx: Array, col_idx: Array) -> Ktensor:
+    """Gather evicted models' TRUE rank columns into one packed
+    [n_cols, I_n] buffer per mode (+ [n_cols] lam). The device->host result
+    fetch then moves exactly the useful bytes instead of rank-padded
+    [n_models, I_n, R_bucket] slots — on remote-attached backends the
+    result link is the end-to-end throughput binder, and bucket padding
+    (rank 9..16 padded to 16) would inflate it ~16%. The packed layout is
+    the reference's column-packed multi-factor buffer
+    (src/multi_ktensor.cpp) reborn as a transfer format."""
+    factors = tuple(f[slot_idx, :, col_idx] for f in kt.factors)
+    return Ktensor(factors, kt.lam[slot_idx, col_idx])
+
+
+def _evict_col_indices(evicted, slot_meta):
+    """Host-side packed-column index map for ``_gather_cols``: per evicted
+    model, its true-rank columns; padded to _COL_QUANTUM (repeats of column
+    0 — harmless extra gather lanes, sliced off on the host)."""
+    slot_list: list[int] = []
+    col_list: list[int] = []
+    offs: dict[int, int] = {}
+    for slot in evicted:
+        rank = slot_meta[slot][1]
+        offs[slot] = len(slot_list)
+        slot_list.extend([slot] * rank)
+        col_list.extend(range(rank))
+    n = len(slot_list)
+    q = -(-max(n, 1) // _COL_QUANTUM) * _COL_QUANTUM
+    pad = q - n
+    slot_idx = np.asarray(slot_list + [slot_list[0]] * pad, np.int32)
+    col_idx = np.asarray(col_list + [0] * pad, np.int32)
+    return slot_idx, col_idx, offs
 
 
 def _slice_slot(tree, slot: int):
@@ -565,17 +609,31 @@ def precompile_buckets(
     dtype = _queue_dtype(queue)
     sizes = _bucket_demands(queue, params)
     waves = allocate_bucket_batches(sizes, params.buffer_size)
+    # Per-bucket true ranks in queue order: the first eviction round's
+    # packed-column gather width is the sum of the first b of these.
+    true_ranks: dict[int, list[int]] = {}
+    for kt in queue:
+        true_ranks.setdefault(
+            bucket_rank(kt.rank, params.bucket_ranks), []
+        ).append(kt.rank)
+
+    def _col_quantum(n_cols: int) -> int:
+        return -(-max(n_cols, 1) // _COL_QUANTUM) * _COL_QUANTUM
 
     def compile_one(r, b):
         if params.mttkrp_method.value == "auto":
             from ..utils.lut import lookup_methods
 
-            methods = lookup_methods(x.shape, r, b)
+            # Key the LUT by the tier the MTTKRP actually runs at (the
+            # method ranking flips between bf16 "default" and bf16_3x
+            # "high"; see utils/lut.py:_key).
+            methods = lookup_methods(
+                x.shape, r, b,
+                precision=params.mttkrp_precision or params.precision,
+            )
         else:
             methods = None
-        step, run_until_evict, polish = _jitted_programs(
-            params, methods, False, has_jk
-        )
+        step, run_until_evict = _jitted_programs(params, methods, False, has_jk)
         # Warm-up state that terminates after ONE real iteration: an
         # all-False rank_mask gives an identity normal matrix (no NaN
         # Cholesky) and fit pinned at 0, and iters = max_iterations - 1
@@ -608,15 +666,18 @@ def precompile_buckets(
             out, stats = run_until_evict(x, state, jnp.asarray(1.0, dtype))
         else:
             out, stats = step(x, state, jnp.asarray(1.0, dtype))
-        if polish is not None:
-            out, stats = polish(x, out, jnp.asarray(1.0, dtype))
         # Warm the small per-bucket-shape programs the engine loop uses
         # (each costs a 1-4 s remote-compile round trip if left to compile
         # serially on first dispatch): full-block eviction gather, the
         # drain-path alive mask, the tail-compaction repack, and the
         # spec-queue batched-refill variant of the block builder
         # (with_select=True — a distinct program from the intake one).
-        _gather_kt(out.kt, np.arange(b, dtype=np.int32))
+        ranks_b = (true_ranks.get(r) or [r])[:b]
+        n_cols = sum(ranks_b) if len(ranks_b) == b else b * r
+        q = _col_quantum(n_cols)
+        _gather_cols(
+            out.kt, np.zeros((q,), np.int32), np.zeros((q,), np.int32)
+        )
         _mask_alive(out, np.ones((b,), bool))
         builder_for(None, True, True)(
             np.ones((b,), np_dtype), meta, out, np.zeros((b,), bool)
@@ -632,9 +693,9 @@ def precompile_buckets(
                 flat, meta, out, np.zeros((b,), bool)
             )
         _fetch(stats)  # sync (stats packing is fused into the programs)
-        return step, run_until_evict, polish, out
+        return step, run_until_evict, out
 
-    def compile_ladder(step, run_until_evict, polish, state, b):
+    def compile_ladder(step, run_until_evict, state, b):
         # Tail-compaction shapes: the drain phase repacks live slots into a
         # half-size batch up to tail_compaction_depth times, and each level
         # needs its own run/step + eviction-gather + alive-mask programs.
@@ -654,9 +715,13 @@ def precompile_buckets(
                 state, stats = run_until_evict(x, state, jnp.asarray(1.0, dtype))
             else:
                 state, stats = step(x, state, jnp.asarray(1.0, dtype))
-            if polish is not None:
-                state, stats = polish(x, state, jnp.asarray(1.0, dtype))
-            _gather_kt(state.kt, np.arange(bb, dtype=np.int32))
+            # Drain-phase evictions are small (a few models at a time), so
+            # their packed gathers round up to the first quantum.
+            _gather_cols(
+                state.kt,
+                np.zeros((_COL_QUANTUM,), np.int32),
+                np.zeros((_COL_QUANTUM,), np.int32),
+            )
             _mask_alive(state, np.ones((bb,), bool))
             _fetch(stats)
 
@@ -818,13 +883,17 @@ def cp_cals(
         if params.mttkrp_method.value == "auto":
             from ..utils.lut import lookup_methods
 
-            methods = lookup_methods(x.shape, r, b)
+            # Key the LUT by the tier the MTTKRP actually runs at (the
+            # method ranking flips between bf16 "default" and bf16_3x
+            # "high"; see utils/lut.py:_key).
+            methods = lookup_methods(
+                x.shape, r, b,
+                precision=params.mttkrp_precision or params.precision,
+            )
         else:
             methods = None
         traced = trace is not None and use_blocks
-        step, run_until_evict, polish = _jitted_programs(
-            params, methods, traced, has_jk
-        )
+        step, run_until_evict = _jitted_programs(params, methods, traced, has_jk)
         slot_meta: list[tuple[int, int, int] | None] = [None] * b  # (id, rank, jk)
 
         def build_block_state(batch_slots, bb, select_into=None):
@@ -1069,11 +1138,6 @@ def cp_cals(
                     state, tbuf, tk = out
                 else:
                     state = out
-                if polish is not None:
-                    # Mixed-precision refinement of the converged slots
-                    # (config.polish_iters) before their stats/factors are
-                    # extracted; in-flight slots pass through untouched.
-                    state, stats_d = polish(x, state, x_norm)
             else:
                 state, stats_d = step(x, state, x_norm)
                 engine_iters += 1
@@ -1154,11 +1218,12 @@ def cp_cals(
                 iters_h = stats[1]
                 fit_h = stats[2]
                 err_h = stats[3]
-                # Exact-size gather: transfer bandwidth dominates over
-                # compile-per-length here (lengths repeat across blocks).
-                kt_ev = _gather_kt(
-                    state.kt, np.asarray(evicted, np.int32)
+                # Packed true-column gather: one device program, and the
+                # host fetch moves only useful bytes (no rank padding).
+                slot_idx, col_idx, offs = _evict_col_indices(
+                    evicted, slot_meta
                 )
+                kt_ev = _gather_cols(state.kt, slot_idx, col_idx)
                 for leaf in jax.tree.leaves(kt_ev):
                     try:
                         leaf.copy_to_host_async()
@@ -1187,8 +1252,9 @@ def cp_cals(
                     # archive on disk is complete after every round.
                     kt_np = jax.tree.map(_fetch, kt_ev)
                 refills: list = []
-                for pos, slot in enumerate(evicted):
+                for slot in evicted:
                     i, rank, jk = slot_meta[slot]
+                    off = offs[slot]
                     rep_m = CalsModelReport(
                         id=i,
                         rank=rank,
@@ -1198,13 +1264,16 @@ def cp_cals(
                     )
                     local_models.append(rep_m)
                     if defer:
-                        block_models.append((pos, i, rank))
+                        block_models.append((off, i, rank))
                     else:
                         local_done[i] = Ktensor(
                             tuple(
-                                f[pos, :, :rank] for f in kt_np.factors
+                                np.ascontiguousarray(
+                                    f[off : off + rank].T
+                                )
+                                for f in kt_np.factors
                             ),
-                            kt_np.lam[pos, :rank],
+                            kt_np.lam[off : off + rank],
                         )
                         if checkpoint_dir is not None:
                             bucket_done_meta.append(
@@ -1311,10 +1380,15 @@ def cp_cals(
     _t0 = _time.perf_counter()
     for futs, treedef, block_models in pending:
         kt_np = jax.tree.unflatten(treedef, [f.result() for f in futs])
-        for pos, i, rank in block_models:
+        # Packed-column layout (_gather_cols): factor leaves are
+        # [n_cols, I_n]; model i owns rows [off, off+rank).
+        for off, i, rank in block_models:
             results[i] = Ktensor(
-                tuple(f[pos, :, :rank] for f in kt_np.factors),
-                kt_np.lam[pos, :rank],
+                tuple(
+                    np.ascontiguousarray(f[off : off + rank].T)
+                    for f in kt_np.factors
+                ),
+                kt_np.lam[off : off + rank],
             )
     mat_pool.shutdown()
     report.materialize_s = _time.perf_counter() - _t0

@@ -28,6 +28,31 @@ _ROOT = os.path.join(
 
 METHODS = ("krp_gemm", "twostep", "pallas")
 
+# Dispatch-source accounting for the last process (reset with
+# reset_lookup_stats): how many per-mode method decisions came from an
+# exact LUT entry, from the nearest-B*R entry in the same table (the
+# analog of the reference's lower_bound rank search, mttkrp.cpp:575-587),
+# or from the shape heuristic. bench.py surfaces these so "100% LUT-backed
+# dispatch" is checkable.
+LOOKUP_STATS = {"exact": 0, "nearest": 0, "heuristic": 0}
+
+
+def reset_lookup_stats() -> None:
+    for k in LOOKUP_STATS:
+        LOOKUP_STATS[k] = 0
+
+
+def _key(batch: int, rank: int, mode: int, precision: str = "high") -> str:
+    """Table key. The matmul precision tier is part of the key because the
+    method ranking flips with it (measured: at "high"/bf16_3x the Pallas
+    fused kernel wins on 300^3 while at "default"/bf16 the XLA twostep is
+    at the roofline everywhere, data/benchmarks/pallas_tune.json). The
+    legacy un-suffixed form is the "high" tier (round-2 tables)."""
+    core = f"{batch}x{rank}"
+    if precision not in (None, "", "high"):
+        core += f"@{precision}"
+    return f"{core}:{mode}"
+
 
 def _device_tag() -> str:
     d = jax.devices()[0]
@@ -54,40 +79,127 @@ def _store(modes, table: dict) -> None:
         json.dump(table, f, indent=1, sort_keys=True)
 
 
-def heuristic_methods(modes, rank: int = 0, batch: int = 0) -> tuple[str, ...]:
+def heuristic_methods(
+    modes, rank: int = 0, batch: int = 0, precision: str = "high"
+) -> tuple[str, ...]:
     """Default when no LUT entry exists (analog of mttkrp.cpp:588-606).
 
-    TWOSTEP for every mode of a 3-D tensor. Measured on hardware (v5e,
+    TWOSTEP for every mode by default. Measured on hardware (v5e,
     scripts/profile_iteration.py, EEM shape 299x301x41 at B*R=1920): the
-    twostep TTM+TTV runs at 67-78 TF/s on ALL modes — within ~0.8x of a
-    pure matmul of the same shape — while KRP-GEMM reaches only 2-13 TF/s,
-    because materializing the [prod(others), B*R] Khatri-Rao product is a
-    VPU-bound broadcast-multiply write that dwarfs the matmul it feeds.
-    The reference's CPU heuristic also defaults to its TWOSTEP variants
-    when threaded (mttkrp.cpp:588-606). The B*R-dependent crossovers live
-    in the measured LUT (autotune), which overrides this default.
+    twostep TTM+TTV runs at the matmul roofline on ALL modes (131-192 TF/s
+    at the bf16 tier, data/benchmarks/pallas_tune.json), while KRP-GEMM
+    reaches only 2-13 TF/s, because materializing the [prod(others), B*R]
+    Khatri-Rao product is a VPU-bound broadcast-multiply write that dwarfs
+    the matmul it feeds. The reference's CPU heuristic also defaults to
+    its TWOSTEP variants when threaded (mttkrp.cpp:588-606).
+
+    The rank/batch-dependent boundary that IS measured: the twostep's
+    [I_n * min(other modes), B*R] HBM intermediate. On the EEM shape it is
+    ~94 MB per mode at B*R=1920 and twostep still wins; on 300^3 it is
+    ~690 MB per mode and the fused Pallas kernel (which never materializes
+    it) wins every mode at the "high" tier (committed LUT
+    data/lookup_tables/tpu-TPU_v5_lite/300-300-300.json). The heuristic
+    places the boundary at 256 MB, between the two measured points.
+    Measured LUT entries (exact or nearest-B*R) always override this.
 
     N-D (!=3) tensors also default to twostep: our TTM+TTV chain
     generalizes to any N (unlike the reference, whose N-D path falls back
     to the KRP form, mttkrp.cpp:567-568), and the KRP materialization cost
-    only grows with more modes ([prod(others), B*R] is a 3+-factor KRP).
-    A measured LUT entry still overrides this default per (shape, rank,
-    batch, mode).
+    only grows with more modes.
     """
-    return tuple("twostep" for _ in modes)
+    out = []
+    for n, dim in enumerate(modes):
+        method = "twostep"
+        if len(modes) == 3 and rank and batch and precision == "high":
+            others = [m for i, m in enumerate(modes) if i != n]
+            inter_bytes = dim * min(others) * batch * rank * 4
+            if inter_bytes > 256 * 1024 * 1024:
+                method = "pallas"
+        out.append(method)
+    return tuple(out)
 
 
-def lookup_methods(modes, rank: int, batch: int) -> tuple[str, ...]:
+def _nearest(table: dict, batch: int, rank: int, mode: int,
+             precision: str = "high") -> str | None:
+    """Nearest measured entry for this mode by |log(B*R ratio)| — the
+    TPU analog of the reference LUT's lower_bound rank search
+    (mttkrp.cpp:575-587): an off-grid (batch, rank) inherits the method of
+    the closest measured point instead of falling to a constant heuristic.
+    Entries at the requested precision tier are preferred; other tiers are
+    used only when the requested tier has no measurements at all."""
+    import math
+
+    target = batch * rank
+    best = None  # (tier_penalty, distance, method)
+    for key, method in table.items():
+        if method not in METHODS:
+            continue
+        core, _, mode_s = key.partition(":")
+        if mode_s != str(mode):
+            continue
+        if "@" in core:
+            core, _, prec = core.partition("@")
+        else:
+            prec = "high"
+        try:
+            b_s, _, r_s = core.partition("x")
+            br = int(b_s) * int(r_s)
+        except ValueError:
+            continue
+        cand = (
+            0 if prec == (precision or "high") else 1,
+            abs(math.log(max(br, 1) / max(target, 1))),
+            method,
+        )
+        if best is None or cand[:2] < best[:2]:
+            best = cand
+    return best[2] if best else None
+
+
+def lookup_methods(
+    modes, rank: int, batch: int, precision: str = "high"
+) -> tuple[str, ...]:
     table = _load(modes)
-    key = f"{batch}x{rank}"
     out = []
     for mode in range(len(modes)):
-        m = table.get(f"{key}:{mode}")
-        out.append(m if m in METHODS else None)
-    if any(m is None for m in out):
-        heur = heuristic_methods(modes, rank, batch)
-        out = [m or h for m, h in zip(out, heur)]
+        m = table.get(_key(batch, rank, mode, precision))
+        if m in METHODS:
+            LOOKUP_STATS["exact"] += 1
+            out.append(m)
+            continue
+        m = _nearest(table, batch, rank, mode, precision)
+        if m is not None:
+            LOOKUP_STATS["nearest"] += 1
+            out.append(m)
+            continue
+        LOOKUP_STATS["heuristic"] += 1
+        out.append(heuristic_methods(modes, rank, batch, precision)[mode])
     return tuple(out)
+
+
+def has_exact_entries(modes, rank: int, batch: int,
+                      precision: str = "high") -> bool:
+    table = _load(modes)
+    return all(
+        table.get(_key(batch, rank, mode, precision)) in METHODS
+        for mode in range(len(modes))
+    )
+
+
+def ensure_methods(
+    modes, rank: int, batch: int, dtype=jnp.float32,
+    precision: str = "high", reps: int = 3,
+) -> tuple[str, ...]:
+    """Return LUT methods for (shape, rank, batch, precision), autotuning
+    and persisting any missing exact entries first (the runtime analog of
+    the reference's offline generate_LUTs.py: every program the engine is
+    about to compile gets a measured dispatch decision). Call on the
+    production backend (TPU); measurement costs a few compiles per missing
+    (batch, rank)."""
+    if not has_exact_entries(modes, rank, batch, precision):
+        autotune(modes, rank, batch, dtype=dtype, reps=reps,
+                 precision=precision)
+    return lookup_methods(modes, rank, batch, precision)
 
 
 def autotune(modes, rank: int, batch: int, dtype=jnp.float32, reps: int = 3,
@@ -182,6 +294,6 @@ def autotune(modes, rank: int, batch: int, dtype=jnp.float32, reps: int = 3,
         ):
             best = "twostep"
         winners.append(best or "krp_gemm")
-        table[f"{batch}x{rank}:{mode}"] = winners[-1]
+        table[_key(batch, rank, mode, precision)] = winners[-1]
     _store(modes, table)
     return tuple(winners)

@@ -128,6 +128,32 @@ def test_cals_force_max_iter():
         assert m.iters == 7
 
 
+def test_polish_iters_refines_converged_models():
+    """Mixed-precision refinement (CalsParams.polish_iters): converged
+    models get extra full-precision sweeps fused into the run-until-evict
+    program. Reported iteration counts must be unchanged (polish is
+    refinement, not ALS progress) and the extra sweeps can only improve
+    the returned factors' fit."""
+    x, kts = make_problem(6, n_models=6, ranks=(2, 3, 4))
+    base = CalsParams(
+        tol=1e-7, max_iterations=40, bucket_ranks=(2, 4), buffer_size=12,
+        sync_mode="evict",
+    )
+    import dataclasses
+
+    polished = dataclasses.replace(base, polish_iters=2)
+    res0, rep0 = cp_cals(x, kts, base)
+    res1, rep1 = cp_cals(x, kts, polished)
+    x_norm = float(jnp.linalg.norm(x))
+    for m0, m1 in zip(rep0.models, rep1.models):
+        assert m0.id == m1.id and m0.iters == m1.iters
+    for k0, k1 in zip(res0, res1):
+        f0 = 1.0 - float(jnp.linalg.norm(x - to_tensor(k0))) / x_norm
+        f1 = 1.0 - float(jnp.linalg.norm(x - to_tensor(k1))) / x_norm
+        # Two extra ALS sweeps are monotone in fit (up to roundoff).
+        assert f1 >= f0 - 1e-9
+
+
 def test_always_evict_first_and_trace():
     """Defrag-stress knob (reference experiments_letter.cpp:33-51) + the
     per-iteration trace recorder."""
