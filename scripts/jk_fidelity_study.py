@@ -1,0 +1,198 @@
+"""Jackknife fp32-TPU vs fp64-CPU fidelity study (BASELINE config 4).
+
+The reference runs its jackknife protocol in fp64 end to end
+(/root/reference/src/experiments/experiments_jk.cpp:34-98). The TPU build
+runs fp32 (+ df64-compensated error reductions). This study quantifies
+what users actually consume — the per-parameter jackknife standard-error
+bands — across the two precisions on the SAME base model:
+
+  1. ``--prepare``  (CPU, fp64): build the EEM-shaped synthetic tensor,
+     fit the rank-5 base model, save both to disk.
+  2. ``--oracle``   (CPU, fp64): jk_cp_cals on the saved inputs -> SE bands.
+  3. default        (TPU, fp32, production bench tiers): same -> SE bands.
+  4. ``--compare``: join the two outputs into
+     data/benchmarks/jk_fp32_vs_fp64.json: dtype-induced SE error vs the
+     jackknife scatter itself.
+
+Jackknife SE per parameter (column-matched by jk_cp_cals's LSAP
+adjustment, so entrywise comparable): se = sqrt((n-1)/n * sum_i
+(theta_i - theta_bar)^2), excluded-fiber rows (NaN) dropped per replicate.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORK = os.path.join(ROOT, "data", "benchmarks")
+BASE_NPZ = os.path.join(WORK, "jk_fidelity_base.npz")
+MODES = (299, 301, 41)
+RANK = 5
+
+
+def build_inputs():
+    rng = np.random.default_rng(7)
+    factors = [rng.standard_normal((m, RANK)) for m in MODES]
+    lam = np.abs(rng.standard_normal(RANK)) + 0.5
+    x = np.einsum("ir,jr,kr,r->ijk", *factors, lam)
+    x = x + 0.05 * x.std() * rng.standard_normal(x.shape)
+    return x
+
+
+def se_bands(replicates):
+    """Per-parameter jackknife standard errors, NaN fiber rows excluded."""
+    out = []
+    n_modes = len(replicates[0].factors)
+    for mode in range(n_modes):
+        stack = np.stack(
+            [np.asarray(k.factors[mode], np.float64) for k in replicates]
+        )  # [n_rep, I, R]
+        n = np.sum(np.isfinite(stack), axis=0)  # per-entry replicate count
+        mean = np.nanmean(stack, axis=0)
+        var = np.nansum((stack - mean) ** 2, axis=0)
+        se = np.sqrt(np.maximum(n - 1, 1) / np.maximum(n, 1) * var)
+        out.append(se)
+    return out
+
+
+def run(dtype, tag):
+    import jax
+    import jax.numpy as jnp
+
+    from cp_cals_tpu.config import CalsParams
+    from cp_cals_tpu.ktensor import Ktensor
+    from cp_cals_tpu.solvers import jk_cp_cals
+
+    data = np.load(BASE_NPZ)
+    # The tensor is deterministic from build_inputs() (seeded); only the
+    # fitted base model is shared via disk (keeps the artifact ~30 KB).
+    x = jax.device_put(jnp.asarray(build_inputs(), dtype))
+    base = Ktensor(
+        tuple(jnp.asarray(data[f"f{m}"], dtype) for m in range(len(MODES))),
+        jnp.asarray(data["lam"], dtype),
+    )
+    is_f64 = dtype == jnp.float64
+    params = CalsParams(
+        tol=1e-6,
+        max_iterations=100,
+        buffer_size=2432,
+        bucket_ranks=(8,),
+        precision="highest" if is_f64 else "high",
+        # fp32 runs use the PRODUCTION bench tiers (bf16 MTTKRP + polish):
+        # the study must cover the configuration users actually get.
+        mttkrp_precision=None if is_f64 else "default",
+        polish_iters=0 if is_f64 else 2,
+        sync_mode="evict",
+    )
+    import time
+
+    t0 = time.perf_counter()
+    rep = jk_cp_cals(x, [base], params)
+    wall = time.perf_counter() - t0
+    reps = rep.results[0]
+    bands = se_bands(reps)
+    np.savez_compressed(
+        os.path.join(WORK, f"jk_fidelity_{tag}.npz"),
+        **{f"se{m}": b for m, b in enumerate(bands)},
+    )
+    print(
+        json.dumps(
+            {
+                "tag": tag,
+                "device": str(jax.devices()[0]),
+                "dtype": str(jnp.dtype(dtype)),
+                "n_replicates": len(reps),
+                "wall_s": round(wall, 2),
+                "mean_se": [float(np.mean(b)) for b in bands],
+            }
+        )
+    )
+
+
+def compare():
+    a = np.load(os.path.join(WORK, "jk_fidelity_f64.npz"))
+    b = np.load(os.path.join(WORK, "jk_fidelity_f32.npz"))
+    out = {"modes": list(MODES), "rank": RANK, "per_mode": []}
+    for m in range(len(MODES)):
+        se64, se32 = a[f"se{m}"], b[f"se{m}"]
+        d = np.abs(se32 - se64)
+        out["per_mode"].append(
+            {
+                "mode": m,
+                "mean_se_f64": float(se64.mean()),
+                "mean_se_f32": float(se32.mean()),
+                "mean_abs_dtype_err": float(d.mean()),
+                "max_abs_dtype_err": float(d.max()),
+                # The question VERDICT r2 #5 asks: is the dtype-induced SE
+                # error small relative to the jackknife scatter users read?
+                "dtype_err_over_scatter_mean": float(
+                    d.mean() / max(se64.mean(), 1e-300)
+                ),
+                "dtype_err_over_scatter_p99": float(
+                    np.quantile(d / np.maximum(se64, 1e-12), 0.99)
+                ),
+            }
+        )
+    path = os.path.join(WORK, "jk_fp32_vs_fp64.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    print(f"wrote {path}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--prepare", action="store_true")
+    p.add_argument("--oracle", action="store_true")
+    p.add_argument("--compare", action="store_true")
+    args = p.parse_args()
+
+    if args.compare:
+        compare()
+        return
+
+    import jax
+
+    if args.prepare or args.oracle:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    else:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/root/repo/.jax_cache"
+        )
+    import jax.numpy as jnp
+
+    if args.prepare:
+        from cp_cals_tpu.config import AlsParams
+        from cp_cals_tpu.ktensor import random_ktensor
+        from cp_cals_tpu.solvers import cp_als
+
+        x = build_inputs()
+        kt0 = random_ktensor(jax.random.PRNGKey(3), MODES, RANK)
+        kt, _ = cp_als(
+            jnp.asarray(x),
+            kt0,
+            AlsParams(tol=1e-9, max_iterations=500, precision="highest"),
+        )
+        np.savez_compressed(
+            BASE_NPZ,
+            lam=np.asarray(kt.lam, np.float64),
+            **{
+                f"f{m}": np.asarray(f, np.float64)
+                for m, f in enumerate(kt.factors)
+            },
+        )
+        print(f"prepared base model + tensor -> {BASE_NPZ}")
+        return
+
+    run(jnp.float64 if args.oracle else jnp.float32,
+        "f64" if args.oracle else "f32")
+
+
+if __name__ == "__main__":
+    main()

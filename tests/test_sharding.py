@@ -5,6 +5,8 @@ SURVEY §5.8): the concurrent-model batch shards over a (dp, tp) mesh and
 results must be identical to the single-device run.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -61,12 +63,35 @@ def test_sharded_iteration_matches_single_device(n_dp, n_tp):
 
 
 def test_dryrun_multichip():
+    """Run the driver's multichip dryrun the way the driver does: in a
+    FRESH process. In-suite, the dryrun's end-to-end sharded cp_cals has
+    segfaulted XLA:CPU's compiler under accumulated process state (jaxlib
+    crash in backend_compile_and_load after ~70 suite tests; reproduced
+    twice round 3, never in a fresh process) — subprocess isolation both
+    matches the real invocation and sidesteps that."""
+    import subprocess
     import sys
 
-    sys.path.insert(0, "/root/repo")
-    from __graft_entry__ import dryrun_multichip
-
-    dryrun_multichip(8)
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax; jax.config.update('jax_platforms', 'cpu');"
+            "import sys; sys.path.insert(0, '/root/repo');"
+            "from __graft_entry__ import dryrun_multichip;"
+            "dryrun_multichip(8)",
+        ],
+        env=env,
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "dryrun_multichip OK" in out.stdout
 
 
 def test_entry_compiles():
