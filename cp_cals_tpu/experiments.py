@@ -269,12 +269,38 @@ def scale_sweep(modes=(500, 500, 500), copies=250, rank_max=20,
         m.iters * als_iteration_flops(modes, bucket_rank(m.rank, params.bucket_ranks))
         for m in rep.models
     )
-    return {
+    out = {
         "modes": list(modes), "n_models": len(queue),
         "warmup_s": round(warm_s, 3), "wall_s": round(wall, 3),
         "models_per_sec": round(len(queue) / wall, 2),
         "mttkrp_tflops": round(padded_flops / wall / 1e12, 2),
     }
+    # HBM accounting (VERDICT r2 #6): the per-mode prepared twostep
+    # layouts are the dominant residents at this scale — N copies of |X|
+    # (ops/mttkrp.py:prepare_batched) + X itself + the bucket states.
+    # Policy note: layouts are materialized inside each jitted program
+    # from the single donated X when XLA cannot alias them; if HBM ever
+    # binds (N*|X| ~ capacity), drop to mttkrp_method="krp_gemm" for the
+    # largest mode (shares X's unfold) or recompute layouts per mode-loop
+    # (trade ~|X| of traffic per iteration for N*|X| of residency).
+    itemsize = jnp.dtype(dtype).itemsize
+    x_bytes = int(np.prod(modes)) * itemsize
+    out["hbm_model_bytes"] = {
+        "tensor": x_bytes,
+        "prepared_layouts": len(modes) * x_bytes,
+        "bucket_states_approx": int(
+            3 * params.buffer_size * max(modes) * itemsize
+        ),
+    }
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        out["hbm_measured"] = {
+            k: int(v) for k, v in stats.items()
+            if k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")
+        }
+    except Exception:
+        pass
+    return out
 
 
 def defrag_experiment(modes=(200, 200, 200), rank_max=20, copies=20,

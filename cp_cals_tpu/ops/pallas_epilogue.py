@@ -235,14 +235,23 @@ def _apply_kernel(
             t3lo_ref[pl.ds(m, 1), :] = lo
 
 
-def _pick_mb(b: int, i_pad: int, r_pad: int) -> int:
+def _pick_mb(b: int, i_pad: int, r_pad: int) -> int | None:
     """Largest model-block size that divides B and keeps the kernel's VMEM
-    working set (g in + f out, double-buffered) comfortably under budget."""
+    working set (g in + f out, double-buffered) comfortably under budget.
+
+    Mosaic constraint: a block's sublane dim must be a multiple of 8 OR
+    equal the full array dim (grid_blockspec rule) — the scalar operands
+    here are [B, 1] blocked [mb, 1], so mb < 8 is only legal when mb == b
+    (b=20 with mb=4 fails to lower; found by the 500^3 sweep). Returns
+    None when no legal block fits the budget — callers fall back to the
+    XLA epilogue via ``supports_fused_epilogue``."""
     budget = 8 * 1024 * 1024  # bytes, conservative half of VMEM
-    for mb in (16, 8, 4, 2, 1):
+    for mb in (16, 8):
         if b % mb == 0 and 4 * mb * i_pad * r_pad * 4 <= budget:
             return mb
-    return 1
+    if 4 * b * i_pad * r_pad * 4 <= budget:
+        return b  # whole-batch block (block dim == array dim: always legal)
+    return None
 
 
 @functools.partial(
@@ -338,5 +347,6 @@ def supports_fused_epilogue(b: int, i_n: int, r: int, dtype) -> bool:
     if r > _LANES:
         return False
     i_pad = _round_up(i_n, 8)
-    # one model's in+out tiles must fit the conservative VMEM budget
-    return 4 * i_pad * _round_up(r, _LANES) * 4 <= 8 * 1024 * 1024
+    # a Mosaic-legal model block must exist within the VMEM budget
+    # (none exists e.g. for b=20 at 500^3's i_pad=504 — XLA handles those)
+    return _pick_mb(b, i_pad, _round_up(r, _LANES)) is not None

@@ -59,6 +59,33 @@ def _pick_db(r: int) -> int:
     return math.lcm(r, 128) // r
 
 
+def pallas_mttkrp_supported(
+    x_shape, mode: int, b: int, r: int, cj: int = 8
+) -> bool:
+    """Static scoped-VMEM feasibility gate for the fused kernel.
+
+    Estimates the per-grid-cell working set (double-buffered X tile +
+    factor/output blocks) against the ~16 MB Mosaic scoped-VMEM limit with
+    a 1.5x safety factor for compiler temporaries (measured: 500^3 at
+    r=20 allocates 16.73 MB where this base formula gives ~12 MB). Callers
+    fall back to the XLA twostep when False."""
+    if len(x_shape) != 3:
+        return False
+    small, big = _split_others(tuple(x_shape), mode)
+    kbp = _round_up(x_shape[big], 8)
+    jsp = _round_up(x_shape[small], cj)
+    ip8 = _round_up(x_shape[mode], 8)
+    ti, _ = _pick_ti(ip8)
+    dbr = _pick_db(r) * r
+    base = 4 * (
+        2 * cj * ti * kbp        # x tile, double-buffered
+        + 2 * kbp * dbr          # u2 block
+        + 2 * min(cj, jsp) * dbr # u1 block
+        + 2 * ti * dbr           # out block
+    )
+    return base * 1.5 <= 16 * 1024 * 1024
+
+
 def _bf16_split(a):
     hi = a.astype(jnp.bfloat16)
     lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -239,6 +266,13 @@ def mttkrp_batched_pallas(
     small, big = _split_others(x.shape, mode)
     u1, u2 = factors[small], factors[big]
     b, _, r = u1.shape
+    if db is None and not pallas_mttkrp_supported(x.shape, mode, b, r, cj):
+        # Working set exceeds Mosaic's scoped-VMEM limit at this shape
+        # (e.g. 500^3 at r=20): use the XLA twostep instead of failing to
+        # compile. Explicit db overrides skip the gate (benchmarks).
+        from .mttkrp import mttkrp_batched_twostep
+
+        return mttkrp_batched_twostep(x, factors, mode, precision, None)
     x3 = prepared if prepared is not None else prepare_mode_tensor(
         x, mode, ti, cj
     )

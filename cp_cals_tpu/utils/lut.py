@@ -115,8 +115,21 @@ def heuristic_methods(
             inter_bytes = dim * min(others) * batch * rank * 4
             if inter_bytes > 256 * 1024 * 1024:
                 method = "pallas"
-        out.append(method)
+        out.append(_screen(method, modes, n, rank, batch))
     return tuple(out)
+
+
+def _screen(method: str, modes, mode: int, rank: int, batch: int) -> str:
+    """Downgrade a 'pallas' pick the fused kernel cannot compile at this
+    shape (scoped-VMEM gate, ops/pallas_mttkrp.py) — reachable when a
+    nearest-B*R LUT entry measured at a smaller (batch, rank) is inherited
+    by a bigger one, or from the shape heuristic."""
+    if method == "pallas" and rank and batch:
+        from ..ops.pallas_mttkrp import pallas_mttkrp_supported
+
+        if not pallas_mttkrp_supported(tuple(modes), mode, batch, rank):
+            return "twostep"
+    return method
 
 
 def _nearest(table: dict, batch: int, rank: int, mode: int,
@@ -165,12 +178,12 @@ def lookup_methods(
         m = table.get(_key(batch, rank, mode, precision))
         if m in METHODS:
             LOOKUP_STATS["exact"] += 1
-            out.append(m)
+            out.append(_screen(m, modes, mode, rank, batch))
             continue
         m = _nearest(table, batch, rank, mode, precision)
         if m is not None:
             LOOKUP_STATS["nearest"] += 1
-            out.append(m)
+            out.append(_screen(m, modes, mode, rank, batch))
             continue
         LOOKUP_STATS["heuristic"] += 1
         out.append(heuristic_methods(modes, rank, batch, precision)[mode])
