@@ -163,6 +163,11 @@ def main():
         # extraction (masked; in-flight models untouched) — recovers the
         # bf16-tier fit deficit (mean_fit matches the all-"high" run).
         polish_iters=int(os.environ.get("BENCH_POLISH", "2")),
+        # Forced-iteration protocol: every model evicts at exactly
+        # max_iterations, so the drain phase never iterates and the
+        # tail-compaction ladder (2 extra run/step/gather programs per
+        # bucket) would only add cold-start compiles.
+        tail_compaction_depth=int(os.environ.get("BENCH_TAIL_DEPTH", "0")),
         sync_mode="evict",
     )
 

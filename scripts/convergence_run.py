@@ -41,6 +41,9 @@ def main():
     p.add_argument("--precision", default="highest")
     p.add_argument("--mttkrp-precision", default=None,
                    help="MTTKRP-only precision tier override")
+    p.add_argument("--polish", type=int, default=0,
+                   help="polish_iters: full-precision refinement sweeps for "
+                        "converged models (the bench's production knob)")
     p.add_argument("--tag", default=None,
                    help="output suffix (default: f64 oracle / tpu)")
     args = p.parse_args()
@@ -89,6 +92,7 @@ def main():
         bucket_ranks=(4, 8),
         precision=args.precision,
         mttkrp_precision=args.mttkrp_precision,
+        polish_iters=args.polish,
         sync_mode="evict",
     )
 
@@ -103,6 +107,7 @@ def main():
         "dtype": str(jnp.dtype(dtype)),
         "precision": args.precision,
         "mttkrp_precision": args.mttkrp_precision,
+        "polish_iters": args.polish,
         "tol": args.tol,
         "wall_s": round(wall, 3),
         "models": [
