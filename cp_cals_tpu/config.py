@@ -133,6 +133,12 @@ class CalsParams:
     nnls_algorithm: str = "bpp"
     precision: str = "highest"
     # MTTKRP-only precision override (see AlsParams.mttkrp_precision).
+    # Scope: FORCED-iteration / throughput protocols. Under a tol-driven
+    # stop, bf16 noise keeps |fit - old_fit| bouncing near tol and
+    # inflates iteration counts 5-25x on some models (measured,
+    # data/benchmarks/convergence_tpu_mttkrp_default_polish.json), and
+    # jackknife SE bands become noise-dominated (jk_fp32_vs_fp64.json) —
+    # tol-driven and statistics runs should stay on the "high" tier.
     mttkrp_precision: Optional[str] = None
     # Mixed-precision refinement: when > 0 and mttkrp_precision is a lower
     # tier, models that converge at the fast tier get this many extra
