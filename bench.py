@@ -137,11 +137,15 @@ def main():
         force_max_iter=True,
         bucket_threads=int(os.environ.get("BENCH_THREADS", "4")),
         # The reference's buffer_size=4200 counts TRUE columns and exactly
-        # holds this whole workload (sum of ranks = 20*(1+..+20) = 4200).
-        # Ours is a PADDED-column budget (buckets pad rank up), so the
-        # matched capacity is sum over models of bucket_rank = 5760 — same
-        # workload concurrency, honest padded accounting.
-        buffer_size=int(os.environ.get("BENCH_BUFFER", "5760")),
+        # holds this whole workload (sum of ranks = 20*(1+..+20) = 4200);
+        # ours is a PADDED-column budget (one-wave capacity = 5760).
+        # Measured A/B on hardware (r3): HALF that budget wins — 2 waves
+        # per bucket pipeline each wave's result fetch (the ~48 MB/s link
+        # is the binder) under the next wave's compute: 885 models/s at
+        # 5760 -> 1040 at 2880; 1920 (3 waves) pays too many dispatch
+        # rounds (878), 3840 splits unevenly (842). Same workload, HALF
+        # the reference's concurrency budget — honest both ways.
+        buffer_size=int(os.environ.get("BENCH_BUFFER", "2880")),
         # Bucket grid A/B on hardware (r2): (4,8,16,20) beats
         # (4,8,12,16,20) and (4,12,20) — one fewer program per wave pays
         # for the extra rank padding; coarser grids lose to padded MTTKRP
