@@ -163,10 +163,12 @@ def main():
         # fp64 oracle quantified in data/benchmarks/convergence_*.json and
         # the bench's own mean_fit (delta ~1e-4 on this workload).
         mttkrp_precision=os.environ.get("BENCH_MTTKRP_PRECISION", "default"),
-        # Converged models get 2 full-precision refinement sweeps before
+        # Converged models get a full-precision refinement sweep before
         # extraction (masked; in-flight models untouched) — recovers the
-        # bf16-tier fit deficit (mean_fit matches the all-"high" run).
-        polish_iters=int(os.environ.get("BENCH_POLISH", "2")),
+        # bf16-tier fit deficit (mean_fit matches the all-"high" run;
+        # measured A/B: 1 sweep == 2 sweeps on mean_fit to 4e-5, at fewer
+        # compiled programs and less per-wave compute).
+        polish_iters=int(os.environ.get("BENCH_POLISH", "1")),
         # Forced-iteration protocol: every model evicts at exactly
         # max_iterations, so the drain phase never iterates and the
         # tail-compaction ladder (2 extra run/step/gather programs per
