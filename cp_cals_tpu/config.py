@@ -91,6 +91,19 @@ class AlsParams:
     # (data/benchmarks/pallas_tune.json). Fidelity vs the fp64 oracle is
     # quantified in data/benchmarks/convergence_tpu_mttkrp_default.json.
     mttkrp_precision: Optional[str] = None
+    # Mixed-tier tol-driven stopping: when > 0, the per-iteration stopping
+    # criterion (|fit - old_fit| < tol, reference als.cpp:273-276) is
+    # replaced by a periodic high-fidelity check — every K-th iteration one
+    # extra last-mode MTTKRP runs at full `precision` and the model stops
+    # when its K-iteration-averaged high-tier fit delta drops below tol.
+    # This is what makes the fast bf16 `mttkrp_precision` tier usable under
+    # tol-driven protocols: the in-sweep bf16 fit is too noisy to resolve
+    # tol=1e-6..1e-7 deltas (iteration counts inflate 5-25x), while the
+    # periodic full-precision evaluation stops within ~K iterations of the
+    # fp64 oracle at ~1/K relative overhead. Trajectories are unchanged —
+    # only the stopping decision and the reported fit read the check.
+    # 0 = off (the reference's exact per-iteration criterion).
+    tol_check_interval: int = 0
     # Normal-matrix solve: "gj" (statically-unrolled Gauss-Jordan inverse,
     # fastest on TPU for the tiny [B, R, R] systems), "chol" (XLA Cholesky,
     # the reference's dpotrf+dtrsm analog), or "pallas" (lane-batched
@@ -133,13 +146,21 @@ class CalsParams:
     nnls_algorithm: str = "bpp"
     precision: str = "highest"
     # MTTKRP-only precision override (see AlsParams.mttkrp_precision).
-    # Scope: FORCED-iteration / throughput protocols. Under a tol-driven
-    # stop, bf16 noise keeps |fit - old_fit| bouncing near tol and
-    # inflates iteration counts 5-25x on some models (measured,
+    # Scope: FORCED-iteration / throughput protocols, OR tol-driven runs
+    # with tol_check_interval > 0 (mixed-tier stopping). With a plain
+    # per-iteration stop, bf16 noise keeps |fit - old_fit| bouncing near
+    # tol and inflates iteration counts 5-25x on some models (measured,
     # data/benchmarks/convergence_tpu_mttkrp_default_polish.json), and
     # jackknife SE bands become noise-dominated (jk_fp32_vs_fp64.json) —
-    # tol-driven and statistics runs should stay on the "high" tier.
+    # plain tol-driven and statistics runs should stay on the "high" tier.
     mttkrp_precision: Optional[str] = None
+    # Mixed-tier tol-driven stopping (see AlsParams.tol_check_interval):
+    # every K-th engine iteration the stopping criterion is evaluated from
+    # one extra full-`precision` last-mode MTTKRP; models stop when their
+    # per-iteration high-tier fit delta (averaged since the last check)
+    # drops below tol. Makes mttkrp_precision="default" safe under the
+    # reference's tol-driven protocols at ~1/K relative overhead.
+    tol_check_interval: int = 0
     # Mixed-precision refinement: when > 0 and mttkrp_precision is a lower
     # tier, models that converge at the fast tier get this many extra
     # full-`precision` ALS sweeps (masked to converged slots only) before

@@ -340,13 +340,30 @@ def epilogue_apply_pallas(
     return f, lam, gm_raw, (tuple(outs[3:]) if with_err else None)
 
 
-def supports_fused_epilogue(b: int, i_n: int, r: int, dtype) -> bool:
-    """Static gate: shapes/dtype the fused kernels are written for."""
+def supports_fused_epilogue(
+    b: int, i_n: int, r: int, dtype, n_modes: int = 3
+) -> bool:
+    """Static gate: shapes/dtype the fused kernels are written for.
+
+    Bounds BOTH kernels' VMEM working sets: the apply kernel via _pick_mb
+    and the hinv kernel's per-grid-cell block (k, r, r, LANES) + output,
+    double-buffered — at r=128, k=2 that is ~50 MB, which passes the old
+    apply-only gate but fails Mosaic at runtime instead of falling back.
+    Also caps the fully-unrolled r-step Gauss-Jordan loops (both kernels
+    unroll r elimination steps; past ~64 steps compile time balloons for
+    shapes the VMEM bound would reject anyway).
+    """
     if jnp.dtype(dtype) != jnp.float32:
         return False
-    if r > _LANES:
+    if r > min(_LANES, 64):  # unroll cap on the r-step Gauss-Jordan
         return False
     i_pad = _round_up(i_n, 8)
+    # hinv kernel: [K, R, R, LANES] in + [R, LANES] mask + [R, R, LANES]
+    # out per grid cell, double-buffered, within the same 8 MB budget.
+    k = max(n_modes - 1, 1)
+    hinv_bytes = 2 * ((k + 1) * r * r + r) * _LANES * 4
+    if hinv_bytes > 8 * 1024 * 1024:
+        return False
     # a Mosaic-legal model block must exist within the VMEM budget
     # (none exists e.g. for b=20 at 500^3's i_pad=504 — XLA handles those)
     return _pick_mb(b, i_pad, _round_up(r, _LANES)) is not None

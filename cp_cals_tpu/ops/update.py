@@ -198,54 +198,49 @@ def _nnls_row(h: Array, y: Array, warm_active: Array, tol: Array, max_outer: int
         w_max = jnp.max(jnp.where(active, w, -jnp.inf))
         return jnp.any(active) & (w_max > tol) & (it < max_outer)
 
-    def inner_body(state):
-        d, active, _ = state
-        sp, failed = _masked_solve(h, y, jnp.logical_not(active))
-        s = sp  # already zero on active entries
-        # feasible step toward s (update.cpp:139-156)
-        passive = jnp.logical_not(active)
-        viol = passive & (s <= tol)
-        alpha = jnp.min(jnp.where(viol, d / (d - s), jnp.inf))
-        d_new = d + alpha * (s - d)
-        newly_active = passive & (jnp.abs(d_new) < tol)
-        active_new = active | newly_active
-        d_new = jnp.where(newly_active, 0.0, d_new)
-        return d_new, active_new, failed
-
-    def inner_cond_fn(state):
-        d, active, failed = state
-        sp, f2 = _masked_solve(h, y, jnp.logical_not(active))
-        passive = jnp.logical_not(active)
-        min_p = jnp.min(jnp.where(passive, sp, jnp.inf))
-        return (min_p <= tol) & jnp.logical_not(failed | f2) & jnp.any(passive)
-
     def outer_body(state):
         d, w, active, it = state
         m = jnp.argmax(jnp.where(active, w, -jnp.inf))
         active = active.at[m].set(False)
 
         def inner_loop(d, active):
-            def body(st):
-                d, active, failed, k = st
-                d2, a2, f2 = inner_body((d, active, failed))
-                return d2, a2, failed | f2, k + 1
+            # The candidate passive-subset solution is carried through the
+            # loop state so the cond check and the feasible step share ONE
+            # _masked_solve per active-set state (the body re-solves only
+            # after it changes the active set).
+            sp0, f0 = _masked_solve(h, y, jnp.logical_not(active))
 
             def cond(st):
-                d, active, failed, k = st
+                d, active, sp, failed, k = st
+                passive = jnp.logical_not(active)
+                min_p = jnp.min(jnp.where(passive, sp, jnp.inf))
                 return (
-                    inner_cond_fn((d, active, failed))
-                    & (k < r + 1)
+                    (min_p <= tol)
                     & jnp.logical_not(failed)
+                    & jnp.any(passive)
+                    & (k < r + 1)
                 )
 
-            d, active, failed, _ = jax.lax.while_loop(
-                cond, body, (d, active, jnp.bool_(False), jnp.int32(0))
-            )
-            return d, active, failed
+            def body(st):
+                d, active, sp, failed, k = st
+                s = sp  # already zero on active entries
+                # feasible step toward s (update.cpp:139-156)
+                passive = jnp.logical_not(active)
+                viol = passive & (s <= tol)
+                alpha = jnp.min(jnp.where(viol, d / (d - s), jnp.inf))
+                d_new = d + alpha * (s - d)
+                newly_active = passive & (jnp.abs(d_new) < tol)
+                active_new = active | newly_active
+                d_new = jnp.where(newly_active, 0.0, d_new)
+                sp2, f2 = _masked_solve(h, y, jnp.logical_not(active_new))
+                return d_new, active_new, sp2, failed | f2, k + 1
 
-        d, active, failed = inner_loop(d, active)
-        sp, f2 = _masked_solve(h, y, jnp.logical_not(active))
-        fail = failed | f2
+            d, active, sp, failed, _ = jax.lax.while_loop(
+                cond, body, (d, active, sp0, f0, jnp.int32(0))
+            )
+            return d, active, sp, failed
+
+        d, active, sp, fail = inner_loop(d, active)
         d = jnp.where(fail, jnp.zeros_like(d), jnp.where(active, 0.0, sp))
         active = jnp.where(fail, jnp.ones_like(active), active)
         w = y - h @ d

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import CalsParams
 from ..ktensor import Ktensor
 from ..solvers.iteration import make_iteration
-from ..solvers.state import LsState, SolverState
+from ..solvers.state import HiState, LsState, SolverState
 
 Array = jax.Array
 
@@ -84,6 +84,8 @@ def state_pspecs(
         for i, a in enumerate(state.active)
     )
     if isinstance(state.ls, LsState):
+        # backup_active mirrors state.active (non-empty only under NNLS);
+        # omitting it breaks device_put's tree-prefix match for NNLS+LS runs.
         ls = LsState(
             it=scalar,
             updated_last=scalar,
@@ -93,9 +95,15 @@ def state_pspecs(
             backup_fit=scalar,
             backup_old_fit=scalar,
             backup_iters=scalar,
+            backup_active=active if state.ls.backup_active else (),
         )
     else:
         ls = ()
+    hi = (
+        HiState(fit_prev=scalar, iters_prev=scalar)
+        if isinstance(state.hi, HiState)
+        else ()
+    )
     return SolverState(
         kt=kt_spec,
         grams=grams,
@@ -110,6 +118,7 @@ def state_pspecs(
         x_norm_model=scalar,
         active=active,
         ls=ls,
+        hi=hi,
     )
 
 

@@ -51,6 +51,7 @@ def _run_als(
         line_search=params.line_search,
         jk_fiber=jk_fiber,
         x_norm_model=x_norm_model,
+        mixed_tol=params.tol_check_interval > 0,
     )
     iteration = make_iteration(params, batched=False)
 
@@ -99,6 +100,7 @@ def _run_vmap_als(x, kts: Ktensor, params: AlsParams, n_iters: int) -> SolverSta
         x_norm,
         nnls=params.update_method == UpdateMethod.NNLS,
         line_search=params.line_search,
+        mixed_tol=params.tol_check_interval > 0,
     )
     iteration = make_iteration(params, batched=True)
     prepared = iteration.prepare(x)

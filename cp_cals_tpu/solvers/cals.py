@@ -75,10 +75,34 @@ class CalsReport:
     materialize_s: float = 0.0
 
 
+def _resolve_bucket_methods(
+    x_shape: tuple, r: int, b: int, params: CalsParams
+) -> tuple[tuple | None, tuple | None]:
+    """Per-mode MTTKRP methods for a bucket: (fast-tier methods for the
+    main sweeps, full-`precision` methods for polish sweeps). The LUT is
+    keyed by precision tier because the method ranking flips between tiers
+    (utils/lut.py:_key) — polish sweeps run at params.precision and must
+    not inherit a bf16-tier-measured pick."""
+    if params.mttkrp_method.value != "auto":
+        return None, None
+    from ..utils.lut import lookup_methods
+
+    fast_tier = params.mttkrp_precision or params.precision
+    methods = lookup_methods(x_shape, r, b, precision=fast_tier)
+    polish_methods = None
+    if getattr(params, "polish_iters", 0) and params.mttkrp_precision:
+        polish_methods = lookup_methods(
+            x_shape, r, b, precision=params.precision
+        )
+        if polish_methods == methods:
+            polish_methods = None  # same picks: share the compiled program
+    return methods, polish_methods
+
+
 @lru_cache(maxsize=64)
 def _jitted_programs(
     params: CalsParams, methods: tuple | None, traced: bool = False,
-    has_jk: bool = True,
+    has_jk: bool = True, polish_methods: tuple | None = None,
 ):
     """One jitted (step, run_until_evict) pair per static config — reused
     across cp_cals calls so repeated runs don't retrace. ``traced`` builds
@@ -110,11 +134,19 @@ def _jitted_programs(
         # own compile per bucket shape.
         import dataclasses
 
+        # tol_check_interval=0: polish preserves converged/iters, so the
+        # mixed-tier stopping check would be dead weight in its sweeps.
         pparams = dataclasses.replace(
-            params, mttkrp_precision=None, line_search=False
+            params, mttkrp_precision=None, line_search=False,
+            tol_check_interval=0,
         )
         p_iter = make_iteration(
-            pparams, batched=True, mttkrp_methods=methods, has_jk=has_jk
+            pparams, batched=True,
+            # Polish runs at full `precision`: use the methods resolved at
+            # THAT tier (the LUT ranking flips between tiers) when the
+            # caller measured a different pick; otherwise share the tuple.
+            mttkrp_methods=polish_methods or methods,
+            has_jk=has_jk,
         )
         n_polish = params.polish_iters
 
@@ -205,6 +237,7 @@ def _block_builder(
     line_search: bool,
     with_specs: bool,
     with_select: bool,
+    mixed_tol: bool = False,
 ):
     """ONE jitted program for a whole block intake or refill round.
 
@@ -308,6 +341,7 @@ def _block_builder(
             jk_fiber=jk_arr,
             x_norm_model=xnm,
             rank_mask=rank_mask,
+            mixed_tol=mixed_tol,
         )
         st = st._replace(alive=alive)
         if with_select:
@@ -621,19 +655,12 @@ def precompile_buckets(
         return -(-max(n_cols, 1) // _COL_QUANTUM) * _COL_QUANTUM
 
     def compile_one(r, b):
-        if params.mttkrp_method.value == "auto":
-            from ..utils.lut import lookup_methods
-
-            # Key the LUT by the tier the MTTKRP actually runs at (the
-            # method ranking flips between bf16 "default" and bf16_3x
-            # "high"; see utils/lut.py:_key).
-            methods = lookup_methods(
-                x.shape, r, b,
-                precision=params.mttkrp_precision or params.precision,
-            )
-        else:
-            methods = None
-        step, run_until_evict = _jitted_programs(params, methods, False, has_jk)
+        methods, polish_methods = _resolve_bucket_methods(
+            x.shape, r, b, params
+        )
+        step, run_until_evict = _jitted_programs(
+            params, methods, False, has_jk, polish_methods
+        )
         # Warm-up state that terminates after ONE real iteration: an
         # all-False rank_mask gives an identity normal matrix (no NaN
         # Cholesky) and fit pinned at 0, and iters = max_iterations - 1
@@ -656,6 +683,7 @@ def precompile_buckets(
             return _block_builder(
                 x.shape, r, b, part_shapes, str(np_dtype), nnls,
                 params.line_search, with_specs, with_select,
+                params.tol_check_interval > 0,
             )
 
         state = builder_for(None, True, False)(np.ones((b,), np_dtype), meta)
@@ -674,10 +702,17 @@ def precompile_buckets(
         # (with_select=True — a distinct program from the intake one).
         ranks_b = (true_ranks.get(r) or [r])[:b]
         n_cols = sum(ranks_b) if len(ranks_b) == b else b * r
-        q = _col_quantum(n_cols)
-        _gather_cols(
-            out.kt, np.zeros((q,), np.int32), np.zeros((q,), np.int32)
-        )
+        # Warm a small ladder of packed-gather widths: the first round's
+        # full-wave width plus 1-3 quanta — mid-run eviction rounds whose
+        # packed column count quantizes differently would otherwise pay a
+        # cold gather compile inside the timed solve loop.
+        widths = {_col_quantum(n_cols)} | {
+            k * _COL_QUANTUM for k in (1, 2, 3) if k * _COL_QUANTUM <= b * r
+        }
+        for q in sorted(widths):
+            _gather_cols(
+                out.kt, np.zeros((q,), np.int32), np.zeros((q,), np.int32)
+            )
         _mask_alive(out, np.ones((b,), bool))
         builder_for(None, True, True)(
             np.ones((b,), np_dtype), meta, out, np.zeros((b,), bool)
@@ -880,20 +915,13 @@ def cp_cals(
         local_models: list = []
         local_pending: list = []
         local_done: dict[int, Ktensor] = {}
-        if params.mttkrp_method.value == "auto":
-            from ..utils.lut import lookup_methods
-
-            # Key the LUT by the tier the MTTKRP actually runs at (the
-            # method ranking flips between bf16 "default" and bf16_3x
-            # "high"; see utils/lut.py:_key).
-            methods = lookup_methods(
-                x.shape, r, b,
-                precision=params.mttkrp_precision or params.precision,
-            )
-        else:
-            methods = None
+        methods, polish_methods = _resolve_bucket_methods(
+            x.shape, r, b, params
+        )
         traced = trace is not None and use_blocks
-        step, run_until_evict = _jitted_programs(params, methods, traced, has_jk)
+        step, run_until_evict = _jitted_programs(
+            params, methods, traced, has_jk, polish_methods
+        )
         slot_meta: list[tuple[int, int, int] | None] = [None] * b  # (id, rank, jk)
 
         def build_block_state(batch_slots, bb, select_into=None):
@@ -988,6 +1016,7 @@ def cp_cals(
                 params.line_search,
                 bool(spec_mask_h.any()),
                 select_into is not None and mesh is None,
+                params.tol_check_interval > 0,
             )
             if select_into is not None and mesh is None:
                 prev, sel = select_into
@@ -1044,6 +1073,7 @@ def cp_cals(
                 x_norm,
                 nnls=nnls,
                 line_search=params.line_search,
+                mixed_tol=params.tol_check_interval > 0,
             )
             state, _ = load_state(ckpt_state_path, template)
             # Alive strictly follows host slot occupancy (snapshots may

@@ -49,7 +49,7 @@ from ..ops.update import (
     update_factor_nnls,
     update_factor_unconstrained,
 )
-from .state import BIG_ERROR, LsState, SolverState, tree_where
+from .state import BIG_ERROR, HiState, LsState, SolverState, tree_where
 
 Array = jax.Array
 
@@ -115,11 +115,14 @@ def make_iteration(
     # test configuration); "xla" keeps the unfused oracle path.
     epilogue = getattr(params, "epilogue", "auto")
     on_tpu = jax.default_backend() == "tpu"
+    # The fused epilogue's inverse is a Gauss-Jordan kernel: under "auto" an
+    # explicitly requested solve_method ("chol"/"pallas") keeps the unfused
+    # path so the request is honored; "fused" forces the kernel regardless.
     want_fused = (
         batched
         and not nnls
         and epilogue != "xla"
-        and (epilogue == "fused" or on_tpu)
+        and (epilogue == "fused" or (on_tpu and params.solve_method == "gj"))
     )
     fused_interpret = not on_tpu
 
@@ -150,6 +153,19 @@ def make_iteration(
             )
         return mttkrp(x, factors, n, method, mttkrp_prec)
 
+    # Mixed-tier stopping (config.tol_check_interval): periodic stopping
+    # checks run one extra last-mode MTTKRP at FULL `precision`.
+    mixed_check = getattr(params, "tol_check_interval", 0) > 0
+
+    def do_mttkrp_hi(x, factors, n, prepared):
+        method = resolve_methods(x)[n]
+        if batched:
+            return mttkrp_batched(
+                x, factors, n, method, precision,
+                prepared[n] if prepared is not None else None,
+            )
+        return mttkrp(x, factors, n, method, precision)
+
     def iteration(
         x: Array, state: SolverState, x_norm_full: Array, prepared=None
     ) -> SolverState:
@@ -172,7 +188,7 @@ def make_iteration(
             if n == n_modes - 1:
                 g_last = g  # saved for the fast-error formula (als.cpp:174-179)
             use_fused = want_fused and supports_fused_epilogue(
-                g.shape[0], g.shape[1], g.shape[2], g.dtype
+                g.shape[0], g.shape[1], g.shape[2], g.dtype, n_modes
             )
             if use_fused:
                 # Fused Pallas epilogue: hadamard+inverse lane-batched, then
@@ -267,8 +283,49 @@ def make_iteration(
             )
 
         # ------------------------------------------------------ convergence
+        hi = state.hi
         if params.force_max_iter:
             converged = iters >= params.max_iterations
+        elif mixed_check:
+            # Mixed-tier stopping (config.tol_check_interval = K): every
+            # K-th engine iteration, ONE extra last-mode MTTKRP at full
+            # `precision` yields a high-fidelity error; a model stops when
+            # its high-tier fit delta, averaged over its iterations since
+            # the previous check, drops below tol. Off-check iterations pay
+            # nothing (lax.cond) and can only stop on max_iterations. The
+            # batch check is gated on the oldest LIVE model's count so it
+            # fires every K engine iterations regardless of per-slot refill
+            # phase (per-model gating would fire nearly every iteration in
+            # a staggered bucket).
+            live = state.alive & jnp.logical_not(state.converged)
+            oldest = jnp.max(jnp.where(live, iters, 0))
+            at_check = (oldest % params.tol_check_interval) == 0
+
+            def do_check(kt, grams, hi, err, fit):
+                g_hi = do_mttkrp_hi(x, kt.factors, n_modes - 1, prepared)
+                err_hi = fast_error(
+                    state.x_norm_model, kt.lam, kt.factors[-1], g_hi,
+                    hadamard_all(grams),
+                )
+                fit_hi = 1.0 - jnp.abs(err_hi) / x_norm_full
+                gap = jnp.maximum(iters - hi.iters_prev, 1).astype(fit_hi.dtype)
+                rate = jnp.abs(fit_hi - hi.fit_prev) / gap
+                seen = hi.iters_prev > 0  # needs one prior check on record
+                conv = seen & (rate < params.tol)
+                hi2 = HiState(fit_prev=fit_hi, iters_prev=iters)
+                # The checked fit/error replace the noisy fast-tier values
+                # (reports and eviction stats read these).
+                return conv, hi2, err_hi, fit_hi
+
+            conv_hi, hi, err, fit = jax.lax.cond(
+                at_check,
+                do_check,
+                lambda kt, grams, hi, err, fit: (
+                    jnp.zeros_like(state.converged), hi, err, fit
+                ),
+                kt, grams, hi, err, fit,
+            )
+            converged = conv_hi | (iters >= params.max_iterations)
         else:
             converged = (jnp.abs(fit - old_fit) < params.tol) | (
                 iters >= params.max_iterations
@@ -288,6 +345,7 @@ def make_iteration(
             x_norm_model=state.x_norm_model,
             active=active,
             ls=ls,
+            hi=hi,
         )
 
     iteration.prepare = prepare

@@ -42,6 +42,15 @@ class LsState(NamedTuple):
     backup_active: tuple = ()
 
 
+class HiState(NamedTuple):
+    """Mixed-tier stopping carry (config.tol_check_interval): the model's
+    full-precision fit and iteration count at its last periodic check, so
+    the next check can form the per-iteration high-tier fit delta."""
+
+    fit_prev: Array  # [...] — high-tier fit at the previous check
+    iters_prev: Array  # [...] int32 — this model's iters at that check
+
+
 class SolverState(NamedTuple):
     kt: Ktensor  # factors [..., I_n, R], lam [..., R]
     grams: tuple  # per-mode [..., R, R]
@@ -56,6 +65,7 @@ class SolverState(NamedTuple):
     x_norm_model: Array  # [...] — leave-one-out norm for JK models
     active: tuple  # NNLS active sets, per-mode [..., I_n, R] bool, or ()
     ls: LsState | tuple  # () when line search disabled
+    hi: HiState | tuple = ()  # () unless tol_check_interval > 0
 
 
 def tree_where(cond: Array, a, b):
@@ -79,6 +89,7 @@ def init_state(
     rank_mask=None,
     alive: bool = True,
     precision=jax.lax.Precision.HIGHEST,
+    mixed_tol: bool = False,
 ) -> SolverState:
     """Build the initial solver state for a (possibly batched) Ktensor.
 
@@ -117,6 +128,7 @@ def init_state(
         )
     else:
         ls = ()
+    hi = HiState(fit_prev=f, iters_prev=i0) if mixed_tol else ()
     return SolverState(
         kt=kt,
         grams=grams,
@@ -131,4 +143,5 @@ def init_state(
         x_norm_model=x_norm_model,
         active=active,
         ls=ls,
+        hi=hi,
     )

@@ -42,15 +42,25 @@ def reset_lookup_stats() -> None:
         LOOKUP_STATS[k] = 0
 
 
+def _tier(precision: str | None) -> str:
+    """Normalize a matmul precision name to its LUT tier. "high" (bf16_3x)
+    and "highest" (fp32 accum) share the full-precision tier — the measured
+    method-ranking flip is between these and the 1-pass-bf16 "default" tier
+    (data/benchmarks/pallas_tune.json) — so a default-config run
+    (precision="highest") hits the committed un-suffixed entries exactly."""
+    return "high" if precision in (None, "", "high", "highest") else precision
+
+
 def _key(batch: int, rank: int, mode: int, precision: str = "high") -> str:
     """Table key. The matmul precision tier is part of the key because the
     method ranking flips with it (measured: at "high"/bf16_3x the Pallas
     fused kernel wins on 300^3 while at "default"/bf16 the XLA twostep is
     at the roofline everywhere, data/benchmarks/pallas_tune.json). The
-    legacy un-suffixed form is the "high" tier (round-2 tables)."""
+    legacy un-suffixed form is the full-precision tier (round-2 tables)."""
     core = f"{batch}x{rank}"
-    if precision not in (None, "", "high"):
-        core += f"@{precision}"
+    tier = _tier(precision)
+    if tier != "high":
+        core += f"@{tier}"
     return f"{core}:{mode}"
 
 
@@ -110,7 +120,7 @@ def heuristic_methods(
     out = []
     for n, dim in enumerate(modes):
         method = "twostep"
-        if len(modes) == 3 and rank and batch and precision == "high":
+        if len(modes) == 3 and rank and batch and _tier(precision) == "high":
             others = [m for i, m in enumerate(modes) if i != n]
             inter_bytes = dim * min(others) * batch * rank * 4
             if inter_bytes > 256 * 1024 * 1024:
@@ -160,7 +170,7 @@ def _nearest(table: dict, batch: int, rank: int, mode: int,
         except ValueError:
             continue
         cand = (
-            0 if prec == (precision or "high") else 1,
+            0 if prec == _tier(precision) else 1,
             abs(math.log(max(br, 1) / max(target, 1))),
             method,
         )

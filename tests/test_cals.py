@@ -377,3 +377,58 @@ def test_random_spec_queue_equals_materialized():
         np.testing.assert_allclose(
             to_tensor(a), to_tensor(b), atol=TOL
         )
+
+
+def test_mixed_tier_tol_stopping():
+    """tol_check_interval=K (mixed-tier stopping, config.py): with EQUAL
+    tiers on the fp64 oracle the periodic check reads the same error the
+    per-iteration criterion would, so each model must stop within
+    [t_oracle, t_oracle + 2K] iterations (checks are K-quantized and the
+    K-averaged delta lags the instantaneous one by < K iterations twice)
+    and its fit must match the plain-tol fit to ~1e-8. Covers ALS, CALS
+    with eviction/refill (checks stay engine-aligned because evictions
+    only happen at checks), and the reported fit being the checked one."""
+    K = 5
+    x, kts = make_problem(7, n_models=9, ranks=(4,))
+    oracle = [cp_als(x, kt, AlsParams(tol=1e-8, max_iterations=500)) for kt in kts]
+
+    # Single-model ALS path.
+    _, r_als = cp_als(
+        x, kts[0], AlsParams(tol=1e-8, max_iterations=500, tol_check_interval=K)
+    )
+    assert oracle[0][1].iters <= r_als.iters <= oracle[0][1].iters + 2 * K
+    assert abs(r_als.fit - oracle[0][1].fit) < 1e-7
+
+    # CALS path with a small buffer (forces eviction + refill, staggered
+    # slot phases).
+    params = CalsParams(
+        tol=1e-8, max_iterations=500, bucket_ranks=(4,), buffer_size=16,
+        tol_check_interval=K,
+    )
+    res, rep = cp_cals(x, kts, params)
+    for (kt_o, ro), kt_c, m in zip(oracle, res, rep.models):
+        assert ro.iters <= m.iters <= ro.iters + 2 * K, (ro.iters, m.iters)
+        assert abs(ro.fit - m.fit) < 1e-7
+        np.testing.assert_allclose(
+            to_tensor(kt_c), to_tensor(kt_o), atol=2e-5
+        )
+
+
+def test_mixed_tier_tol_stopping_sharded():
+    """The hi-check state must shard (state_pspecs carries HiState)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from cp_cals_tpu.parallel.sharding import make_mesh
+
+    x, kts = make_problem(8, n_models=8, ranks=(4,))
+    params = CalsParams(
+        tol=1e-8, max_iterations=500, bucket_ranks=(4,), buffer_size=32,
+        tol_check_interval=5,
+    )
+    ref, rep_ref = cp_cals(x, kts, params)
+    got, rep_got = cp_cals(x, kts, params, mesh=make_mesh(n_dp=4, n_tp=1))
+    for a, b, ma, mb in zip(ref, got, rep_ref.models, rep_got.models):
+        assert ma.iters == mb.iters
+        np.testing.assert_allclose(
+            np.asarray(to_tensor(a)), np.asarray(to_tensor(b)), atol=TOL
+        )

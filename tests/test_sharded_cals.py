@@ -31,6 +31,38 @@ def test_cp_cals_sharded_matches_single(n_dp, n_tp, shard0):
         pytest.skip("needs 8 virtual devices")
     x, kts = make_problem()
     params = CalsParams(tol=1e-9, bucket_ranks=(4,), buffer_size=32)
+    _check_sharded_matches(x, kts, params, n_dp, n_tp, shard0)
+
+
+@pytest.mark.parametrize(
+    "nnls,ls,n_dp,n_tp,shard0",
+    [
+        (True, True, 4, 1, False),   # the round-3 crash repro: NNLS + LS + mesh
+        (True, False, 4, 2, True),
+        (False, True, 8, 1, False),
+    ],
+)
+def test_cp_cals_sharded_nnls_line_search(nnls, ls, n_dp, n_tp, shard0):
+    """NNLS and line-search feature combinations under a mesh must match the
+    single-device run (round-3 verdict: LsState.backup_active was missing
+    from state_pspecs, crashing every sharded NNLS+LS run)."""
+    if len(jax.devices()) < n_dp * n_tp:
+        pytest.skip("needs 8 virtual devices")
+    from cp_cals_tpu import UpdateMethod
+
+    x, kts = make_problem(seed=5)
+    x = jnp.abs(x) if nnls else x
+    params = CalsParams(
+        tol=1e-9,
+        bucket_ranks=(4,),
+        buffer_size=32,
+        update_method=UpdateMethod.NNLS if nnls else UpdateMethod.UNCONSTRAINED,
+        line_search=ls,
+    )
+    _check_sharded_matches(x, kts, params, n_dp, n_tp, shard0)
+
+
+def _check_sharded_matches(x, kts, params, n_dp, n_tp, shard0):
     ref, rep_ref = cp_cals(x, kts, params)
     mesh = make_mesh(n_dp=n_dp, n_tp=n_tp)
     got, rep_got = cp_cals(x, kts, params, mesh=mesh, shard_mode0=shard0)
