@@ -186,6 +186,16 @@ class CalsParams:
     # halving is one more compiled program shape; deeper compaction saves
     # dead-slot compute but costs compile time on cold caches.
     tail_compaction_depth: int = 2
+    # Wire dtype for evicted-result factor extraction (None = the state's
+    # dtype). "float16"/"bfloat16" halve the device->host result bytes —
+    # on remote-attached backends the ~48 MB/s result link is the
+    # end-to-end binder (docs/PROFILE.md). Device-side fits/errors are
+    # unaffected (computed before the cast); only the RETURNED factor
+    # values round to the wire dtype (factors are normalized columns:
+    # float16 rounds at ~5e-4 relative, bfloat16 at ~4e-3 — fidelity A/B
+    # in data/benchmarks/wire_dtype_ab.json). Results are cast back to the
+    # queue dtype on the host.
+    result_wire_dtype: Optional[str] = None
     # Debug oracle: warn when a model's error rises > 1e-4 between
     # iterations (reference als.cpp:233-238 warn / cals.cpp:299 assert).
     debug: bool = False

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import collections
 from dataclasses import dataclass, field
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import Sequence
 
 import jax
@@ -366,8 +366,10 @@ def _gather_kt(kt: Ktensor, idx: Array) -> Ktensor:
 _COL_QUANTUM = 128
 
 
-@jax.jit
-def _gather_cols(kt: Ktensor, slot_idx: Array, col_idx: Array) -> Ktensor:
+@partial(jax.jit, static_argnames=("wire_dtype",))
+def _gather_cols(
+    kt: Ktensor, slot_idx: Array, col_idx: Array, wire_dtype: str | None = None
+) -> Ktensor:
     """Gather evicted models' TRUE rank columns into one packed
     [n_cols, I_n] buffer per mode (+ [n_cols] lam). The device->host result
     fetch then moves exactly the useful bytes instead of rank-padded
@@ -375,9 +377,30 @@ def _gather_cols(kt: Ktensor, slot_idx: Array, col_idx: Array) -> Ktensor:
     result link is the end-to-end throughput binder, and bucket padding
     (rank 9..16 padded to 16) would inflate it ~16%. The packed layout is
     the reference's column-packed multi-factor buffer
-    (src/multi_ktensor.cpp) reborn as a transfer format."""
+    (src/multi_ktensor.cpp) reborn as a transfer format.
+
+    wire_dtype (config.result_wire_dtype): cast the factor payload to a
+    half-width dtype for the wire — halves the bytes on the binding result
+    link; lam stays full precision (it carries the model's scale)."""
     factors = tuple(f[slot_idx, :, col_idx] for f in kt.factors)
+    if wire_dtype is not None:
+        factors = tuple(f.astype(jnp.dtype(wire_dtype)) for f in factors)
     return Ktensor(factors, kt.lam[slot_idx, col_idx])
+
+
+def _unpack_cols(kt_np: Ktensor, off: int, rank: int, np_dtype) -> Ktensor:
+    """Slice one model out of a fetched packed-column gather and restore
+    the queue dtype (results may arrive in a half-width wire dtype,
+    config.result_wire_dtype; lam is always full precision)."""
+    return Ktensor(
+        tuple(
+            np.ascontiguousarray(f[off : off + rank].T).astype(
+                np_dtype, copy=False
+            )
+            for f in kt_np.factors
+        ),
+        np.asarray(kt_np.lam[off : off + rank]).astype(np_dtype, copy=False),
+    )
 
 
 def _evict_col_indices(evicted, slot_meta):
@@ -630,16 +653,41 @@ def _bucket_demands(
 
 def precompile_buckets(
     x: Array, queue: Sequence[Ktensor], params: CalsParams,
-    has_jk: bool = False,
+    has_jk: bool = False, mesh=None, shard_mode0: bool = False,
 ) -> None:
     """AOT-compile every bucket program this queue will need, in parallel
     threads. XLA compilation is thread-safe and the compile service
     overlaps requests, so this cuts cold-start wall time vs the serial
     compile-on-first-dispatch path. Idempotent; results land in jit caches.
+
+    mesh/shard_mode0: warm the SHARDED executables (a sharded input state
+    compiles a distinct program) with the same specs cp_cals(..., mesh=...)
+    uses. Multi-process runs execute the warmups serially in deterministic
+    order — warmups EXECUTE programs, and under jax.distributed every
+    dispatch is a lockstep collective across processes.
     """
     import concurrent.futures
 
     x = jnp.asarray(x)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+
+        from ..parallel.sharding import (
+            state_pspecs,
+            tensor_pspec,
+            to_shardings,
+        )
+
+        x = jax.device_put(
+            x, NamedSharding(mesh, tensor_pspec(x, shard_mode0, mesh))
+        )
+
+    def shard_state(st):
+        if mesh is None:
+            return st
+        return jax.device_put(
+            st, to_shardings(mesh, state_pspecs(st, shard_mode0, mesh))
+        )
     dtype = _queue_dtype(queue)
     sizes = _bucket_demands(queue, params)
     waves = allocate_bucket_batches(sizes, params.buffer_size)
@@ -687,8 +735,10 @@ def precompile_buckets(
             )
 
         state = builder_for(None, True, False)(np.ones((b,), np_dtype), meta)
-        state = state._replace(
-            iters=jnp.full((b,), params.max_iterations - 1, jnp.int32)
+        state = shard_state(
+            state._replace(
+                iters=jnp.full((b,), params.max_iterations - 1, jnp.int32)
+            )
         )
         if params.sync_mode == "evict" and not params.always_evict_first:
             out, stats = run_until_evict(x, state, jnp.asarray(1.0, dtype))
@@ -711,22 +761,32 @@ def precompile_buckets(
         }
         for q in sorted(widths):
             _gather_cols(
-                out.kt, np.zeros((q,), np.int32), np.zeros((q,), np.int32)
+                out.kt, np.zeros((q,), np.int32), np.zeros((q,), np.int32),
+                params.result_wire_dtype,
             )
         _mask_alive(out, np.ones((b,), bool))
-        builder_for(None, True, True)(
-            np.ones((b,), np_dtype), meta, out, np.zeros((b,), bool)
-        )
+        sel0 = np.zeros((b,), bool)
+        if mesh is None:
+            builder_for(None, True, True)(
+                np.ones((b,), np_dtype), meta, out, sel0
+            )
+        else:
+            # The mesh refill path builds unsharded, device_puts, then
+            # selects (_block_builder's fused select is host-path only).
+            _select_slots(out, jnp.asarray(sel0), state)
         if has_explicit:
             # Explicit-model intake/refill programs (the jackknife flagship
             # path: B replicates of ONE fitted model dedup to n_u = 1).
             shapes = tuple((1, m, r) for m in x.shape) + ((1, r),)
             n_flat = sum(int(np.prod(s)) for s in shapes) + 2 * b
             flat = np.zeros((n_flat,), np_dtype)
-            builder_for(shapes, False, False)(flat, meta)
-            builder_for(shapes, False, True)(
-                flat, meta, out, np.zeros((b,), bool)
-            )
+            exp_state = builder_for(shapes, False, False)(flat, meta)
+            if mesh is None:
+                builder_for(shapes, False, True)(
+                    flat, meta, out, sel0
+                )
+            else:
+                _select_slots(out, jnp.asarray(sel0), shard_state(exp_state))
         _fetch(stats)  # sync (stats packing is fused into the programs)
         return step, run_until_evict, out
 
@@ -756,6 +816,7 @@ def precompile_buckets(
                 state.kt,
                 np.zeros((_COL_QUANTUM,), np.int32),
                 np.zeros((_COL_QUANTUM,), np.int32),
+                params.result_wire_dtype,
             )
             _mask_alive(state, np.ones((bb,), bool))
             _fetch(stats)
@@ -764,6 +825,14 @@ def precompile_buckets(
         not isinstance(kt, RandomKtensorSpec) for kt in queue
     )
     jobs = [(r, b) for wave in waves for r, b in wave.items()]
+    if jax.process_count() > 1:
+        # Lockstep: warmups execute device programs, and under
+        # jax.distributed every process must dispatch the same programs in
+        # the same order — no thread pool, deterministic job order.
+        _fetch(_norms_program(str(jnp.dtype(dtype)), has_jk)(x))
+        for r, b in jobs:
+            compile_ladder(*compile_one(r, b), b)
+        return
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
         futmap = {ex.submit(compile_one, r, b): b for r, b in jobs}
         norm_fut = ex.submit(
@@ -1253,7 +1322,9 @@ def cp_cals(
                 slot_idx, col_idx, offs = _evict_col_indices(
                     evicted, slot_meta
                 )
-                kt_ev = _gather_cols(state.kt, slot_idx, col_idx)
+                kt_ev = _gather_cols(
+                    state.kt, slot_idx, col_idx, params.result_wire_dtype
+                )
                 for leaf in jax.tree.leaves(kt_ev):
                     try:
                         leaf.copy_to_host_async()
@@ -1296,14 +1367,8 @@ def cp_cals(
                     if defer:
                         block_models.append((off, i, rank))
                     else:
-                        local_done[i] = Ktensor(
-                            tuple(
-                                np.ascontiguousarray(
-                                    f[off : off + rank].T
-                                )
-                                for f in kt_np.factors
-                            ),
-                            kt_np.lam[off : off + rank],
+                        local_done[i] = _unpack_cols(
+                            kt_np, off, rank, np.dtype(str(jnp.dtype(dtype)))
                         )
                         if checkpoint_dir is not None:
                             bucket_done_meta.append(
@@ -1408,18 +1473,13 @@ def cp_cals(
     import time as _time
 
     _t0 = _time.perf_counter()
+    np_dtype = np.dtype(str(jnp.dtype(dtype)))
     for futs, treedef, block_models in pending:
         kt_np = jax.tree.unflatten(treedef, [f.result() for f in futs])
         # Packed-column layout (_gather_cols): factor leaves are
         # [n_cols, I_n]; model i owns rows [off, off+rank).
         for off, i, rank in block_models:
-            results[i] = Ktensor(
-                tuple(
-                    np.ascontiguousarray(f[off : off + rank].T)
-                    for f in kt_np.factors
-                ),
-                kt_np.lam[off : off + rank],
-            )
+            results[i] = _unpack_cols(kt_np, off, rank, np_dtype)
     mat_pool.shutdown()
     report.materialize_s = _time.perf_counter() - _t0
 

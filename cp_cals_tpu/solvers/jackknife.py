@@ -147,12 +147,16 @@ def jk_cp_cals(
         for kt_rep, fiber in reps:
             queue.append(kt_rep)
             fibers.append(fiber)
-    # Threaded AOT pass over every program the run needs (cold-start:
-    # serial compile-on-first-dispatch costs multiples of this).
-    if mesh is None and jax.process_count() == 1:
-        from .cals import precompile_buckets
+    # AOT pass over every program the run needs (cold-start: serial
+    # compile-on-first-dispatch costs multiples of this). Sharded and
+    # multi-process runs warm their own (sharded) executables too —
+    # precompile_buckets serializes into lockstep order under
+    # jax.distributed and threads otherwise.
+    from .cals import precompile_buckets
 
-        precompile_buckets(x, queue, params, has_jk=True)
+    precompile_buckets(
+        x, queue, params, has_jk=True, mesh=mesh, shard_mode0=shard_mode0
+    )
     t1 = time.perf_counter()
 
     results, cals_rep = cp_cals(

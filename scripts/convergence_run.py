@@ -44,6 +44,10 @@ def main():
     p.add_argument("--polish", type=int, default=0,
                    help="polish_iters: full-precision refinement sweeps for "
                         "converged models (the bench's production knob)")
+    p.add_argument("--tol-check", type=int, default=0,
+                   help="tol_check_interval: mixed-tier stopping — evaluate "
+                        "the stop every K iterations from a full-precision "
+                        "last-mode MTTKRP (makes the bf16 tier tol-safe)")
     p.add_argument("--tag", default=None,
                    help="output suffix (default: f64 oracle / tpu)")
     args = p.parse_args()
@@ -93,6 +97,7 @@ def main():
         precision=args.precision,
         mttkrp_precision=args.mttkrp_precision,
         polish_iters=args.polish,
+        tol_check_interval=args.tol_check,
         sync_mode="evict",
     )
 
@@ -108,6 +113,7 @@ def main():
         "precision": args.precision,
         "mttkrp_precision": args.mttkrp_precision,
         "polish_iters": args.polish,
+        "tol_check_interval": args.tol_check,
         "tol": args.tol,
         "wall_s": round(wall, 3),
         "models": [
@@ -124,16 +130,21 @@ def main():
             with open(oracle_path) as f:
                 oracle = json.load(f)
             om = {m["id"]: m for m in oracle["models"]}
-            deltas = []
+            deltas, ratios = [], []
             for m in out["models"]:
                 o = om.get(m["id"])
                 if o:
                     m["fit_delta_vs_f64"] = m["fit"] - o["fit"]
                     m["iters_f64"] = o["iters"]
                     deltas.append(abs(m["fit_delta_vs_f64"]))
+                    ratios.append(m["iters"] / max(o["iters"], 1))
             out["max_abs_fit_delta"] = max(deltas) if deltas else None
             out["mean_abs_fit_delta"] = (
                 sum(deltas) / len(deltas) if deltas else None
+            )
+            out["max_iters_ratio_vs_f64"] = max(ratios) if ratios else None
+            out["mean_iters_ratio_vs_f64"] = (
+                sum(ratios) / len(ratios) if ratios else None
             )
     with open(os.path.join(OUT_DIR, f"convergence_{tag}.json"), "w") as f:
         json.dump(out, f, indent=1)

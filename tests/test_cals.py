@@ -432,3 +432,25 @@ def test_mixed_tier_tol_stopping_sharded():
         np.testing.assert_allclose(
             np.asarray(to_tensor(a)), np.asarray(to_tensor(b)), atol=TOL
         )
+
+
+def test_result_wire_dtype():
+    """result_wire_dtype halves result bytes: trajectories and reports are
+    identical (fits/errors computed on device before the cast); returned
+    factors differ only by wire rounding and come back in the queue dtype."""
+    x, kts = make_problem(11, n_models=6, ranks=(3, 5))
+    params = CalsParams(tol=1e-8, buffer_size=16, bucket_ranks=(4, 8))
+    ref, rep_ref = cp_cals(x, kts, params)
+    import dataclasses
+
+    for wire, rtol in (("float16", 2e-3), ("bfloat16", 2e-2)):
+        pw = dataclasses.replace(params, result_wire_dtype=wire)
+        got, rep_got = cp_cals(x, kts, pw)
+        for a, b, ma, mb in zip(ref, got, rep_ref.models, rep_got.models):
+            assert ma.iters == mb.iters
+            assert ma.fit == mb.fit  # device-side, pre-cast
+            assert b.lam.dtype == a.lam.dtype  # restored queue dtype
+            assert b.factors[0].dtype == a.factors[0].dtype
+            np.testing.assert_allclose(
+                to_tensor(b), to_tensor(a), rtol=0, atol=rtol
+            )
