@@ -174,6 +174,11 @@ def main():
         # tail-compaction ladder (2 extra run/step/gather programs per
         # bucket) would only add cold-start compiles.
         tail_compaction_depth=int(os.environ.get("BENCH_TAIL_DEPTH", "0")),
+        # Half-width result wire (config.result_wire_dtype): the ~48 MB/s
+        # device->host result link is the end-to-end binder (docs/PROFILE);
+        # float16 halves the evicted-factor bytes at ~5e-4 relative factor
+        # rounding (fits/errors are computed on device, unaffected).
+        result_wire_dtype=os.environ.get("BENCH_WIRE") or None,
         sync_mode="evict",
     )
 
@@ -300,6 +305,15 @@ def main():
         jk_params = CalsParams(
             tol=1e-6, max_iterations=100, buffer_size=4200,
             bucket_ranks=(8,), precision="high", sync_mode="evict",
+            # Fast tier for the tol-driven JK flagship: bf16 MTTKRP with
+            # the mixed-tier stopping check + polish. SE-band fidelity vs
+            # the fp64 oracle: scripts/jk_fidelity_study.py tier
+            # default_check (data/benchmarks/jk_fp32_vs_fp64.json).
+            mttkrp_precision=os.environ.get("BENCH_JK_TIER", "default")
+            or None,
+            tol_check_interval=5,
+            polish_iters=2,
+            result_wire_dtype=os.environ.get("BENCH_WIRE") or None,
         )
         jk_cp_cals(x, [kt5], jk_params)  # warm
         t0 = time.perf_counter()

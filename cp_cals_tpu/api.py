@@ -44,6 +44,13 @@ def _make_params(
     line_search_method="no_error_checking",
     force_max_iter=False,
     bucket_ranks=(4, 8, 16, 32),
+    # TPU-native extensions (config.py): the fast-MTTKRP tier, the
+    # mixed-tier stopping check that makes it tol-safe, full-precision
+    # refinement of converged models, and the half-width result wire.
+    mttkrp_precision=None,
+    tol_check_interval=0,
+    polish_iters=0,
+    result_wire_dtype=None,
 ) -> CalsParams:
     return CalsParams(
         tol=tol,
@@ -57,6 +64,10 @@ def _make_params(
         line_search_method=LineSearchMethod(line_search_method),
         force_max_iter=force_max_iter,
         bucket_ranks=tuple(bucket_ranks),
+        mttkrp_precision=mttkrp_precision,
+        tol_check_interval=tol_check_interval,
+        polish_iters=polish_iters,
+        result_wire_dtype=result_wire_dtype,
     )
 
 

@@ -51,6 +51,12 @@ def parse_args(argv=None):
                    help="load target tensor from reference-format text file")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--f64", action="store_true")
+    p.add_argument("--fast", action="store_true",
+                   help="production fast tier: bf16 MTTKRP + mixed-tier "
+                        "tol checks (every 5 iterations) + 2 polish sweeps")
+    p.add_argument("--wire", default=None, metavar="DTYPE",
+                   help="result extraction wire dtype (float16/bfloat16) — "
+                        "halves device->host result bytes")
     p.add_argument("--dp", type=int, default=0,
                    help="shard the model batch over this many devices")
     p.add_argument("--tp", type=int, default=1,
@@ -124,6 +130,12 @@ def main(argv=None):
         extra["bucket_ranks"] = tuple(
             int(r) for r in args.bucket_ranks.split(",")
         )
+    if args.fast and not args.f64:
+        extra.update(
+            mttkrp_precision="default", tol_check_interval=5, polish_iters=2
+        )
+    if args.wire:
+        extra["result_wire_dtype"] = args.wire
     cals_params = CalsParams(
         tol=args.tol,
         max_iterations=args.max_iterations,

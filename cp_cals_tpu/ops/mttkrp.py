@@ -196,6 +196,11 @@ def mttkrp_batched_krp(
     return jnp.transpose(g.reshape(x.shape[mode], b, r), (1, 0, 2))
 
 
+# bf16 twostep intermediate at the "default" tier (see
+# mttkrp_batched_twostep). Module flag so the A/B benchmark can isolate it.
+TS_COMPACT_INTERMEDIATE: bool = True
+
+
 def _ts_layout(x: Array, mode: int) -> Array:
     """Prepared tensor for the packed twostep: [I_n * I_small, I_big]."""
     others = _others(x.ndim, mode)
@@ -232,12 +237,27 @@ def mttkrp_batched_twostep(
     b, _, r = factors[big].shape
     i_n, i_b = x.shape[mode], x.shape[big]
 
+    # At the 1-pass bf16 tier the TTM multiplies are bf16 already — writing
+    # the [I_n*prod(small), B*R] intermediate as bf16 instead of f32 halves
+    # its HBM traffic, which is what binds the twostep (94 MB/mode on the
+    # EEM shape at B*R=1920; the mode whose TTV reduces the LONG axis was
+    # measured 1.45x slower than the others purely on this stream). TTV
+    # accumulation stays f32 (preferred_element_type below).
+    compact = (
+        TS_COMPACT_INTERMEDIATE
+        and precision == jax.lax.Precision.DEFAULT
+        and jnp.dtype(x.dtype) == jnp.float32
+    )
+    inter_t = jnp.bfloat16 if compact else None
+
     x_ts = prepared if prepared is not None else _ts_layout(x, mode)
     u_big = jnp.transpose(factors[big], (1, 0, 2)).reshape(i_b, b * r)
-    t = jnp.matmul(x_ts, u_big, precision=precision)  # [I_n*prod(s), B*R]
+    t = jnp.matmul(
+        x_ts, u_big, precision=precision, preferred_element_type=inter_t
+    )  # [I_n*prod(s), B*R]
     t = t.reshape(i_n, *(x.shape[m] for m in small), b, r)
     if not small:  # 2-D: the TTM alone is the whole MTTKRP
-        return jnp.transpose(t, (1, 0, 2))
+        return jnp.transpose(t, (1, 0, 2)).astype(x.dtype)
     while small:
         m = max(small, key=lambda mm: x.shape[mm])
         ax = 1 + small.index(m)
@@ -246,9 +266,10 @@ def mttkrp_batched_twostep(
         # Contract t's axis `ax` with u's mode axis, elementwise in (B, R);
         # the final reduction writes [B, I_n, R] directly (for 3-D this is
         # exactly the single "nsbr,sbr->bnr" einsum).
+        last = len(small) == 1
         out_axes = (
             [i for i in range(nd) if i != ax]
-            if len(small) > 1
+            if not last
             else [nd - 2, 0, nd - 1]
         )
         t = jnp.einsum(
@@ -256,6 +277,9 @@ def mttkrp_batched_twostep(
             u, [ax, nd - 2, nd - 1],
             out_axes,
             precision=precision,
+            preferred_element_type=(
+                x.dtype if (last or not compact) else jnp.bfloat16
+            ),
         )
         small.remove(m)
     return t  # [B, I_n, R]

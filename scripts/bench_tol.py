@@ -171,18 +171,32 @@ def main():
             oracle = json.load(f)
         om = {m["id"]: m for m in oracle["models"]}
         deltas, ratios, o_flops = [], [], 0.0
+        worst = []
         for m in rep.models:
             o = om.get(m.id)
             if not o:
                 continue
-            deltas.append(abs(m.fit - o["fit"]))
+            d = abs(m.fit - o["fit"])
+            deltas.append(d)
+            worst.append(
+                {"id": m.id, "rank": m.rank, "fit": float(m.fit),
+                 "fit_f64": o["fit"], "iters": m.iters,
+                 "iters_f64": o["iters"], "delta": d}
+            )
             ratios.append(m.iters / max(o["iters"], 1))
             o_flops += o["iters"] * als_iteration_flops(modes, o["rank"])
         if deltas:
+            ds = sorted(deltas)
             out["max_abs_fit_delta_vs_f64"] = max(deltas)
             out["mean_abs_fit_delta_vs_f64"] = sum(deltas) / len(deltas)
+            out["median_abs_fit_delta_vs_f64"] = ds[len(ds) // 2]
+            out["p99_abs_fit_delta_vs_f64"] = ds[int(len(ds) * 0.99)]
+            out["n_delta_gt_1e-2"] = sum(d > 1e-2 for d in deltas)
             out["mean_iters_ratio_vs_f64"] = sum(ratios) / len(ratios)
             out["max_iters_ratio_vs_f64"] = max(ratios)
+            out["worst_models"] = sorted(
+                worst, key=lambda w: -w["delta"]
+            )[:8]
             if len(deltas) == n_models:
                 # Baseline leg at the SAME stopping rule: the 32-core
                 # reference machine is credited with the fp64 oracle's

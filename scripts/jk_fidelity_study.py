@@ -85,11 +85,15 @@ def run(dtype, tag, tier="default"):
         precision="highest" if is_f64 else "high",
         # fp32 tiers under study: "default" = the bench's bf16 MTTKRP +
         # polish (throughput config), "high" = bf16_3x everywhere (the
-        # f32-equivalent tier). The committed comparison showed the
-        # bf16 tier's convergence noise DOMINATES the JK scatter (3-27x),
-        # so jackknife statistics need the high tier — this study is the
-        # evidence behind that policy.
-        mttkrp_precision=None if (is_f64 or tier == "high") else tier,
+        # f32-equivalent tier), "default_check" = bf16 MTTKRP + the
+        # mixed-tier stopping check (config.tol_check_interval) + polish.
+        # The round-3 comparison showed the bf16 tier's convergence noise
+        # under a PLAIN tol stop dominates the JK scatter (3-27x) — the
+        # mixed-tier check exists to fix exactly that (round 4).
+        mttkrp_precision=(
+            None if (is_f64 or tier == "high") else "default"
+        ),
+        tol_check_interval=5 if tier == "default_check" else 0,
         polish_iters=0 if (is_f64 or tier == "high") else 2,
         sync_mode="evict",
     )
@@ -121,7 +125,7 @@ def run(dtype, tag, tier="default"):
 def compare():
     a = np.load(os.path.join(WORK, "jk_fidelity_f64.npz"))
     out = {"modes": list(MODES), "rank": RANK, "tiers": {}}
-    for tag in ("f32", "f32_high"):
+    for tag in ("f32", "f32_high", "f32_default_check"):
         path32 = os.path.join(WORK, f"jk_fidelity_{tag}.npz")
         if not os.path.exists(path32):
             continue
