@@ -160,6 +160,11 @@ class CalsParams:
     # per-iteration high-tier fit delta (averaged since the last check)
     # drops below tol. Makes mttkrp_precision="default" safe under the
     # reference's tol-driven protocols at ~1/K relative overhead.
+    # Phase note: tol-converged evictions land on check boundaries, so
+    # refilled models keep checks at their OWN multiples of K (solo-ALS
+    # equivalent). A max_iterations-capped eviction at a non-multiple of K
+    # shifts later refills' check phase by up to K-1 iterations — the
+    # per-model `gap` normalization keeps the criterion exact either way.
     tol_check_interval: int = 0
     # Mixed-precision refinement: when > 0 and mttkrp_precision is a lower
     # tier, models that converge at the fast tier get this many extra
