@@ -314,6 +314,12 @@ def main():
             tol_check_interval=5,
             polish_iters=2,
             result_wire_dtype=os.environ.get("BENCH_WIRE") or None,
+            # config.evict_batch: measured A/B on the tol leg says the
+            # per-event cadence wins on this tunnel (mixed-tier checks
+            # already cluster convergence events at K-iteration
+            # boundaries; deferral added a full-state select/iteration
+            # and idled frozen slots for 1.6x worse wall) — keep 1.
+            evict_batch=int(os.environ.get("BENCH_JK_EVICT", "1")),
         )
         jk_cp_cals(x, [kt5], jk_params)  # warm
         t0 = time.perf_counter()

@@ -183,6 +183,23 @@ class CalsParams:
     # ready to evict (amortizes host round-trips, trajectories unchanged);
     # "iter" syncs every iteration like the reference's eviction scan.
     sync_mode: str = "evict"
+    # Deferred eviction (sync_mode="evict"): the device loop returns only
+    # once this many LIVE models have converged (or none remain
+    # unconverged). 1 = return at the first convergence (the reference's
+    # per-event eviction cadence, amortized per cluster). >1 keeps
+    # converged models frozen on device (tree_where select — trajectories
+    # stay bit-identical to immediate eviction) and batches several
+    # convergence events into ONE host round trip — the tol-driven
+    # protocol's binder on a tunneled chip, where each sync costs ~30-40 ms
+    # while one extra engine iteration costs <1 ms. Costs: a full-state
+    # select per iteration while deferring, and refill of the vacated
+    # slots is delayed by the deferral window. Measured on the EEM tol
+    # leg (back-to-back A/B): the default 1 WINS there — mixed-tier
+    # checks already cluster convergence events at K-iteration
+    # boundaries, so deferral's select+idle overhead exceeded the round
+    # trips it saved. Useful when stops are per-iteration (no
+    # tol_check_interval) and sync latency is high.
+    evict_batch: int = 1
     # Bucket loops run in this many host threads: device compute serializes,
     # but one bucket's host work overlaps another's device work
     # (measured on the EEM bench: 1 thread 185 models/s, 2 -> 336, 4 -> ~388).

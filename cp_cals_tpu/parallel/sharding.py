@@ -100,7 +100,7 @@ def state_pspecs(
     else:
         ls = ()
     hi = (
-        HiState(fit_prev=scalar, iters_prev=scalar)
+        HiState(fit_prev=scalar, iters_prev=scalar, rate_prev=scalar)
         if isinstance(state.hi, HiState)
         else ()
     )

@@ -114,7 +114,9 @@ def _jitted_programs(
         params, batched=True, mttkrp_methods=methods, has_jk=has_jk
     )
     cap = params.max_iterations if traced else 0
-    run = make_run_until_evict(iteration, cap)
+    run = make_run_until_evict(
+        iteration, cap, getattr(params, "evict_batch", 1)
+    )
 
     def step_stats(x, state, x_norm):
         out = iteration(x, state, x_norm)
@@ -572,7 +574,7 @@ def allocate_bucket_batches(
     return waves
 
 
-def make_run_until_evict(iteration, trace_cap: int = 0):
+def make_run_until_evict(iteration, trace_cap: int = 0, evict_batch: int = 1):
     """Device-side loop: iterate the whole bucket, freezing each model at its
     convergence point, until at least one live model has converged.
 
@@ -598,7 +600,14 @@ def make_run_until_evict(iteration, trace_cap: int = 0):
 
         def cond(carry):
             s = carry[0]
-            return jnp.logical_not(jnp.any(s.converged & s.alive))
+            if evict_batch <= 1:
+                return jnp.logical_not(jnp.any(s.converged & s.alive))
+            # Deferred eviction (config.evict_batch): keep iterating until
+            # enough convergence events accumulate to pay for one host
+            # sync, or until no live model remains unconverged.
+            n_conv = jnp.sum(s.converged & s.alive)
+            n_unconv = jnp.sum(live_mask(s))
+            return (n_conv < evict_batch) & (n_unconv > 0)
 
         def body(carry):
             if trace_cap:
@@ -617,14 +626,18 @@ def make_run_until_evict(iteration, trace_cap: int = 0):
                 )
             else:
                 s = carry[0]
-            # No freeze-select here: the loop condition guarantees
-            # ``s.converged & s.alive`` is all-False whenever the body runs
-            # (the loop exits at the first converged live model and the host
-            # evicts/refills or kills every converged slot before re-entry),
-            # so selecting between ``s`` and ``new`` was a dead full-state
-            # pass per iteration. Trajectories are unchanged: a model that
-            # converges is extracted before the bucket iterates again.
+            # No freeze-select at evict_batch=1: the loop condition then
+            # guarantees ``s.converged & s.alive`` is all-False whenever the
+            # body runs (the loop exits at the first converged live model
+            # and the host evicts/refills or kills every converged slot
+            # before re-entry), so selecting between ``s`` and ``new`` would
+            # be a dead full-state pass per iteration. With deferred
+            # eviction (evict_batch > 1) converged models DO ride through
+            # the body, and the select freezes them at their convergence
+            # point — bit-identical to immediate eviction.
             new = iteration(x, s, x_norm, prepared)
+            if evict_batch > 1:
+                new = tree_where(s.converged & s.alive, s, new)
             if trace_cap:
                 return (new, buf, k + 1)
             return (new,)

@@ -53,6 +53,38 @@ from .state import BIG_ERROR, HiState, LsState, SolverState, tree_where
 
 Array = jax.Array
 
+
+def extrapolated_delta(rate: Array, rate_prev: Array, gap: Array) -> Array:
+    """Estimate the CURRENT per-iteration fit delta from two consecutive
+    window-average rates (mixed-tier stopping, config.tol_check_interval).
+
+    The window-average rate LAGS the instantaneous fit delta: ALS deltas
+    decay ~geometrically, so the mean of the last `gap` deltas exceeds the
+    newest one and an averaged-rate test stops ~1.4x the fp64 oracle's
+    iteration count (measured, convergence_tpu_mixed_k3.json). With
+    d_i = d_k * rho^(i-k) the two window averages satisfy
+    rate/rate_prev = rho^gap, and the newest delta is
+
+        d_k = rate * gap * (1/rho - 1) / (rho^-gap - 1).
+
+    Used when two positive, decaying window rates are on record; falls
+    back to the raw window rate otherwise (first real window, noise, or
+    non-decaying rates). rho is clamped >= 0.2 so one noisy pair cannot
+    claim a >5x/iteration decay and stop a still-improving model; the
+    signed rate itself still stops models whose high-tier fit has stopped
+    improving (rate <= 0 passes through as-is).
+    """
+    have2 = (rate_prev > 0) & (rate > 0)
+    ratio = jnp.where(have2, rate, 1.0) / jnp.where(have2, rate_prev, 1.0)
+    rho = jnp.clip(ratio ** (1.0 / gap), 0.2, 1.0)
+    inv = jnp.where(rho < 1.0, 1.0 / rho, 2.0)  # dummy avoids 0/0 below
+    return jnp.where(
+        have2 & (rho < 1.0),
+        rate * gap * (inv - 1.0) / (inv**gap - 1.0),
+        rate,
+    )
+
+
 # Debug hook (params.debug): each entry is (iteration, old_error, new_error)
 # for one model whose error rose by more than 1e-4 — the TPU-side analog of
 # the reference's monotonicity warning (als.cpp:233-238). Inspectable by
@@ -317,8 +349,17 @@ def make_iteration(
                 # absolute test can stay above tol forever on jitter).
                 rate = (fit_hi - hi.fit_prev) / gap
                 seen = hi.iters_prev > 0  # needs one prior check on record
-                conv = seen & (rate < params.tol)
-                hi2 = HiState(fit_prev=fit_hi, iters_prev=iters)
+                d_k = extrapolated_delta(rate, hi.rate_prev, gap)
+                conv = seen & (d_k < params.tol)
+                # Record the window rate only once the window is REAL (the
+                # first check's "rate" is fit/K against the zero init, not
+                # a fit delta — extrapolating from it would claim a bogus
+                # huge decay at the second check).
+                hi2 = HiState(
+                    fit_prev=fit_hi,
+                    iters_prev=iters,
+                    rate_prev=jnp.where(seen, rate, jnp.zeros_like(rate)),
+                )
                 # The checked fit/error replace the noisy fast-tier values
                 # (reports and eviction stats read these).
                 return conv, hi2, err_hi, fit_hi

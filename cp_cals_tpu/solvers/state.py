@@ -49,6 +49,12 @@ class HiState(NamedTuple):
 
     fit_prev: Array  # [...] — high-tier fit at the previous check
     iters_prev: Array  # [...] int32 — this model's iters at that check
+    # Per-iteration high-tier improvement rate measured at the previous
+    # check (0 until two checks are on record). Two consecutive window
+    # rates expose the geometric decay of the per-iteration fit deltas,
+    # letting the stop extrapolate the CURRENT delta instead of the
+    # window average (which lags it and inflates iteration counts).
+    rate_prev: Array  # [...]
 
 
 class SolverState(NamedTuple):
@@ -128,7 +134,7 @@ def init_state(
         )
     else:
         ls = ()
-    hi = HiState(fit_prev=f, iters_prev=i0) if mixed_tol else ()
+    hi = HiState(fit_prev=f, iters_prev=i0, rate_prev=f) if mixed_tol else ()
     return SolverState(
         kt=kt,
         grams=grams,

@@ -49,6 +49,10 @@ def main():
                    help="models per rank (default: 20, the bench workload; "
                         "the oracle may use fewer via --copies)")
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--evict-batch", type=int, default=1,
+                   help="config.evict_batch: defer the host eviction sync "
+                        "until this many models have converged (the tol "
+                        "protocol's staggered stops are round-trip-bound)")
     args = p.parse_args()
 
     import jax
@@ -136,6 +140,7 @@ def main():
         mttkrp_precision="default",
         tol_check_interval=args.tol_check,
         polish_iters=args.polish,
+        evict_batch=args.evict_batch,
         sync_mode="evict",
         tail_compaction_depth=2,
     )
@@ -154,6 +159,7 @@ def main():
         "protocol": "tol-driven (reference experiments.cpp:100-150)",
         "tol": args.tol, "max_iter": args.max_iter,
         "tol_check_interval": args.tol_check, "polish_iters": args.polish,
+        "evict_batch": args.evict_batch,
         "mttkrp_precision": "default", "precision": "high",
         "copies": copies,
         "wall_s": round(wall, 3),

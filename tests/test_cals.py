@@ -379,6 +379,71 @@ def test_random_spec_queue_equals_materialized():
         )
 
 
+def test_evict_batch_invariance():
+    """Deferred eviction (config.evict_batch): freezing converged models on
+    device and batching convergence events into one host sync must leave
+    every model's result and iteration count identical to the per-event
+    cadence — including through eviction + refill (small buffer)."""
+    x, kts = make_problem(23, n_models=12, ranks=(3, 5, 7))
+    base = CalsParams(
+        tol=1e-7, max_iterations=300, bucket_ranks=(4, 8), buffer_size=24
+    )
+    ref, rep_ref = cp_cals(x, kts, base)
+    import dataclasses
+
+    for eb in (4, 64):
+        got, rep_got = cp_cals(
+            x, kts, dataclasses.replace(base, evict_batch=eb)
+        )
+        for a, b, ma, mb in zip(ref, got, rep_ref.models, rep_got.models):
+            assert ma.iters == mb.iters
+            # Deferral changes refill timing -> batch composition ->
+            # GEMM tiling/reduction order; the repo-wide 1e-11 oracle
+            # band applies, not bit equality.
+            assert ma.fit == pytest.approx(mb.fit, abs=TOL)
+            np.testing.assert_allclose(
+                np.asarray(to_tensor(a)), np.asarray(to_tensor(b)), atol=TOL
+            )
+
+
+def test_extrapolated_delta():
+    """The mixed-tier stop's instantaneous-delta estimator (iteration.py):
+    exact on geometric windows, conservative fallbacks everywhere else."""
+    from cp_cals_tpu.solvers.iteration import extrapolated_delta
+
+    K = 3
+    for rho in (0.3, 0.5, 0.8, 0.95):
+        d = rho ** np.arange(40)  # per-iteration deltas
+        fit = np.cumsum(d)
+        # window-average rates at checks K, 2K, 3K, ... (check j ends at
+        # iteration (j+1)K-1 in 0-based delta indexing)
+        rates = [
+            (fit[(j + 1) * K - 1] - fit[j * K - 1]) / K for j in range(1, 10)
+        ]
+        for j in range(1, 9):
+            true_d = d[(j + 2) * K - 1]
+            if true_d < 1e-6:  # below f32 resolution of the test itself
+                continue
+            est = float(
+                extrapolated_delta(
+                    jnp.float64(rates[j]), jnp.float64(rates[j - 1]),
+                    jnp.float64(K),
+                )
+            )
+            if rho >= 0.2:  # inside the clamp: exact (f32 rounding aside)
+                np.testing.assert_allclose(est, true_d, rtol=1e-4)
+    # Fallbacks: no prior rate / negative rate / growing rate -> raw rate.
+    f = lambda r, rp: float(
+        extrapolated_delta(jnp.float64(r), jnp.float64(rp), jnp.float64(3))
+    )
+    assert f(1e-5, 0.0) == pytest.approx(1e-5)
+    assert f(-1e-5, 2e-5) == pytest.approx(-1e-5)
+    assert f(3e-5, 2e-5) == pytest.approx(3e-5)
+    # Clamp: a 100x one-window collapse is credited at most rho=0.2.
+    est = f(1e-7, 1e-1)
+    assert est > 1e-7 * 3 * 4 / (5**3 - 1) * 0.999
+
+
 def test_mixed_tier_tol_stopping():
     """tol_check_interval=K (mixed-tier stopping, config.py): with EQUAL
     tiers on the fp64 oracle the periodic check reads the same error the
