@@ -60,7 +60,7 @@ def se_bands(replicates):
     return out
 
 
-def run(dtype, tag, tier="default"):
+def run(dtype, tag, tier="default", polish=None):
     import jax
     import jax.numpy as jnp
 
@@ -94,7 +94,8 @@ def run(dtype, tag, tier="default"):
             None if (is_f64 or tier == "high") else "default"
         ),
         tol_check_interval=5 if tier == "default_check" else 0,
-        polish_iters=0 if (is_f64 or tier == "high") else 2,
+        polish_iters=(0 if (is_f64 or tier == "high") else 2)
+        if polish is None else polish,
         sync_mode="evict",
     )
     import time
@@ -165,6 +166,8 @@ def main():
     p.add_argument("--prepare", action="store_true")
     p.add_argument("--oracle", action="store_true")
     p.add_argument("--compare", action="store_true")
+    p.add_argument("--polish-iters", type=int, default=None,
+                   help="override polish_iters for the fp32 tier under study")
     p.add_argument("--tier", default="default",
                    help="fp32 MTTKRP tier: default (bf16) or high (bf16_3x)")
     args = p.parse_args()
@@ -212,6 +215,7 @@ def main():
         "f64" if args.oracle else
         ("f32" if args.tier == "default" else f"f32_{args.tier}"),
         tier=args.tier,
+        polish=args.polish_iters,
     )
 
 
