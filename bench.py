@@ -178,7 +178,9 @@ def main():
         # device->host result link is the end-to-end binder (docs/PROFILE);
         # float16 halves the evicted-factor bytes at ~5e-4 relative factor
         # rounding (fits/errors are computed on device, unaffected).
-        result_wire_dtype=os.environ.get("BENCH_WIRE") or None,
+        # Default ON since the back-to-back A/B measured 1.40x end-to-end
+        # (data/benchmarks/wire_ab.json); BENCH_WIRE="" disables.
+        result_wire_dtype=os.environ.get("BENCH_WIRE", "float16") or None,
         sync_mode="evict",
     )
 
