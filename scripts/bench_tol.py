@@ -141,6 +141,10 @@ def main():
         tol_check_interval=args.tol_check,
         polish_iters=args.polish,
         evict_batch=args.evict_batch,
+        # Half-width result wire (1.40x on the headline bench,
+        # data/benchmarks/wire_ab.json); fits/iters are computed on
+        # device pre-cast, so every fidelity column below is unaffected.
+        result_wire_dtype=os.environ.get("BENCH_WIRE", "float16") or None,
         sync_mode="evict",
         tail_compaction_depth=2,
     )
