@@ -405,6 +405,15 @@ def test_evict_batch_invariance():
                 np.asarray(to_tensor(a)), np.asarray(to_tensor(b)), atol=TOL
             )
 
+    # Deferral composed with the mixed-tier check (the production tol
+    # config): same invariance.
+    mt = dataclasses.replace(base, tol_check_interval=3)
+    ref_mt, rep_mt = cp_cals(x, kts, mt)
+    got_mt, rep_gmt = cp_cals(x, kts, dataclasses.replace(mt, evict_batch=8))
+    for a, b, ma, mb in zip(ref_mt, got_mt, rep_mt.models, rep_gmt.models):
+        assert ma.iters == mb.iters
+        assert ma.fit == pytest.approx(mb.fit, abs=TOL)
+
 
 def test_extrapolated_delta():
     """The mixed-tier stop's instantaneous-delta estimator (iteration.py):
