@@ -8,7 +8,12 @@ Einstein-notation) and PLANC (dimension trees) — on the same shapes
 
 Neither CTF nor PLANC exists in this environment (external MPI builds), so
 the independent implementations here are the two mature CPU tensor stacks
-that ARE available:
+that ARE available, plus a fresh native one:
+
+* **cpp-omp** — an independent C++/OpenMP MTTKRP written from the
+  definition (``cp_cals_tpu/native/mttkrp_ref.cpp``): per-mode fused
+  loops, thread-private accumulation, the PLANC-style shared-memory
+  contender (3-D tensors);
 
 * **torch** — MTTKRP via ``torch.einsum`` (its own contraction planner,
   ATen/MKL-backed, multithreaded), in both the KRP-materializing and the
@@ -137,13 +142,19 @@ def main(argv=None):
 
     from cp_cals_tpu.ops.mttkrp import mttkrp, mttkrp_flops
 
+    try:
+        from cp_cals_tpu.native.mttkrp_native import mttkrp3 as cpp_mttkrp3
+    except Exception:  # toolchain unavailable: skip the native contender
+        cpp_mttkrp3 = None
+
     torch.set_num_threads(os.cpu_count() or 1)
     rng = np.random.default_rng(0)
     results = []
     header = (
         f"{'tensor':>14} {'rank':>5} {'mode':>4} "
         f"{'ours-krp':>9} {'ours-ts':>9} {'torch-krp':>10} "
-        f"{'torch-ts':>9} {'np-krp':>9} {'np-ts':>9}  (GFLOP/s)"
+        f"{'torch-ts':>9} {'np-krp':>9} {'np-ts':>9} {'cpp-omp':>9}"
+        f"  (GFLOP/s)"
     )
     print(header, flush=True)
     for tstr in args.tensors.split(","):
@@ -178,6 +189,12 @@ def main(argv=None):
                     "np_twostep": lambda: np_mttkrp_twostep(
                         x_np, f_np, mode),
                 }
+                # Independent native implementation (C++/OpenMP fused
+                # loops, native/mttkrp_ref.cpp) — the PLANC-style
+                # shared-memory contender; 3-D only.
+                if cpp_mttkrp3 is not None and len(modes) == 3:
+                    contenders["cpp_omp"] = lambda: cpp_mttkrp3(
+                        x_np, f_np, mode)
                 for name, fn in contenders.items():
                     dt, out = timeit(fn, args.reps)
                     rel = float(
@@ -200,6 +217,11 @@ def main(argv=None):
                             "ours_krp", "ours_twostep", "torch_krp",
                             "torch_twostep", "np_krp", "np_twostep",
                         )
+                    )
+                    + (
+                        f" {row['cpp_omp_gflops']:>9.1f}"
+                        if "cpp_omp_gflops" in row
+                        else ""
                     ),
                     flush=True,
                 )
@@ -208,10 +230,12 @@ def main(argv=None):
         summary = {
             "note": (
                 "External MTTKRP comparison on CPU (analog of the "
-                "reference's CTF/PLANC benchmark_other_mttkrp; torch and "
-                "numpy stand in for the external stacks). fp64; min of "
-                f"{args.reps} reps; every contender verified against the "
-                "NumPy oracle at 1e-10."
+                "reference's CTF/PLANC benchmark_other_mttkrp; torch, "
+                "numpy, and an independent C++/OpenMP implementation "
+                "(native/mttkrp_ref.cpp, PLANC-style shared-memory "
+                "contender) stand in for the external stacks). fp64; min "
+                f"of {args.reps} reps; every contender verified against "
+                "the NumPy oracle at 1e-10."
             ),
             "cpus": os.cpu_count(),
             "rows": results,
