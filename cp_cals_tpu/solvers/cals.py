@@ -1205,10 +1205,19 @@ def cp_cals(
 
             arrays = {}
             for mid, kt_h in local_done.items():
+                # local_done values are HOST arrays on the checkpoint path
+                # (defer is disabled whenever checkpoint_dir is set, so
+                # _unpack_cols already ran on fetched results). Plain
+                # np.asarray — running _fetch here would process_allgather
+                # an already-host array under jax.distributed and CONCAT
+                # the per-process copies (archive corruption, 2x rows per
+                # save).
                 for m, f in enumerate(kt_h.factors):
-                    arrays[f"{mid}_f{m}"] = _fetch(f)
-                arrays[f"{mid}_lam"] = _fetch(kt_h.lam)
-            if arrays:
+                    arrays[f"{mid}_f{m}"] = np.asarray(f)
+                arrays[f"{mid}_lam"] = np.asarray(kt_h.lam)
+            # Only process 0 touches the disk (same rule as save_state);
+            # every process holds identical values.
+            if arrays and jax.process_index() == 0:
                 np.savez(ckpt_done_path, **arrays)
             save_state(
                 ckpt_state_path,

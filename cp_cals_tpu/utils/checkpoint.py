@@ -23,11 +23,32 @@ def _base(path: str) -> str:
     return path[: -len(".npz")] if path.endswith(".npz") else path
 
 
+def _to_host(leaf) -> np.ndarray:
+    """Materialize a (possibly process-sharded) leaf on every host.
+
+    Under jax.distributed a dp-sharded state leaf is not fully
+    addressable; process_allgather is a COLLECTIVE, so every process must
+    reach this call in the same order (the engine calls save_state from
+    its lockstep host loop). Single-process arrays take the plain path.
+    """
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        leaf = multihost_utils.process_allgather(leaf, tiled=True)
+    return np.asarray(leaf)
+
+
 def save_state(path: str, state: SolverState, meta: dict | None = None) -> None:
     leaves, treedef = jax.tree.flatten(state)
+    # The gather is collective (all processes participate, identical
+    # results); the DISK WRITE is process 0's alone — concurrent writes of
+    # the same file from several processes would interleave/corrupt.
+    host_leaves = [_to_host(l) for l in leaves]
+    if jax.process_index() != 0:
+        return
     np.savez_compressed(
         _base(path) + ".npz",
-        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+        **{f"leaf_{i}": l for i, l in enumerate(host_leaves)},
     )
     side = {"treedef": str(treedef), "n_leaves": len(leaves)}
     if meta:
