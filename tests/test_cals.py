@@ -528,3 +528,25 @@ def test_result_wire_dtype():
             np.testing.assert_allclose(
                 to_tensor(b), to_tensor(a), rtol=0, atol=rtol
             )
+
+
+def test_mixed_tier_tol_stopping_nnls():
+    """Mixed-tier checks composed with NNLS updates: same-tier oracle,
+    so the check reads the exact error — stops within [t, t+2K] of the
+    per-iteration NNLS stop and keeps factors non-negative."""
+    K = 5
+    x, kts = make_problem(31, n_models=4, ranks=(4,))
+    base = AlsParams(
+        tol=1e-8, max_iterations=400, update_method=UpdateMethod.NNLS
+    )
+    import dataclasses
+
+    for kt in kts[:2]:
+        kt_o, ro = cp_als(x, kt, base)
+        kt_m, rm = cp_als(
+            x, kt, dataclasses.replace(base, tol_check_interval=K)
+        )
+        assert ro.iters <= rm.iters <= ro.iters + 2 * K
+        assert abs(ro.fit - rm.fit) < 1e-6
+        for f in kt_m.factors:
+            assert (np.asarray(f) >= 0).all()

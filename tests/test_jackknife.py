@@ -293,3 +293,42 @@ def test_jk_checkpoint_resume(tmp_path):
         np.testing.assert_allclose(
             np.asarray(to_tensor(w)), np.asarray(to_tensor(g)), atol=1e-11
         )
+
+
+def test_jk_wire_dtype_and_mixed_check():
+    """The production fast-tier JK config (bench.py JK leg): mixed-tier
+    stopping checks + polish + half-width result wire, composed with the
+    jackknife driver. Same-tier oracle (fp64 CPU, check tier == run tier)
+    so the checks read the exact error: replicates must match the
+    plain-stop run's within the wire rounding, iteration counts within
+    the 2K check-quantization band, and the NaN'd fiber rows must agree."""
+    import dataclasses
+
+    key = jax.random.PRNGKey(5)
+    kx, k0, kn = jax.random.split(key, 3)
+    x = to_tensor(random_ktensor(kx, MODES, 2))
+    x = x + 1e-3 * jax.random.normal(kn, x.shape, x.dtype)
+    kt_fit, _ = cp_als(
+        x, random_ktensor(k0, MODES, 2), AlsParams(tol=1e-10, max_iterations=300)
+    )
+
+    base = CalsParams(tol=1e-8, max_iterations=200, bucket_ranks=(2,))
+    plain = jk_cp_cals(x, [kt_fit], base)
+    K = 5
+    fast = jk_cp_cals(
+        x,
+        [kt_fit],
+        dataclasses.replace(
+            base,
+            tol_check_interval=K,
+            polish_iters=2,
+            result_wire_dtype="float16",
+        ),
+    )
+    for kp, kf in zip(plain.results[0], fast.results[0]):
+        for fp_, ff in zip(kp.factors, kf.factors):
+            fp_, ff = np.asarray(fp_), np.asarray(ff)
+            mask = np.isfinite(fp_)
+            assert (mask == np.isfinite(ff)).all()
+            # float16 wire rounding (~5e-4 relative) dominates the band.
+            np.testing.assert_allclose(fp_[mask], ff[mask], atol=5e-3)
