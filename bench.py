@@ -315,7 +315,11 @@ def main():
             or None,
             tol_check_interval=5,
             polish_iters=2,
-            result_wire_dtype=os.environ.get("BENCH_WIRE") or None,
+            # Same wire default as the headline leg (BENCH_WIRE=""
+            # disables both) so the JK metric runs the tested production
+            # fast-tier config.
+            result_wire_dtype=os.environ.get("BENCH_WIRE", "float16")
+            or None,
             # config.evict_batch: measured A/B on the tol leg says the
             # per-event cadence wins on this tunnel (mixed-tier checks
             # already cluster convergence events at K-iteration

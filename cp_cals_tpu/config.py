@@ -164,7 +164,10 @@ class CalsParams:
     # refilled models keep checks at their OWN multiples of K (solo-ALS
     # equivalent). A max_iterations-capped eviction at a non-multiple of K
     # shifts later refills' check phase by up to K-1 iterations — the
-    # per-model `gap` normalization keeps the criterion exact either way.
+    # per-model `gap` normalization keeps the WINDOW-RATE criterion exact
+    # either way, and the decay extrapolation additionally requires two
+    # EQUAL-length windows (iteration.py gates on gap == gap_prev and
+    # falls back to the raw window rate across a phase shift).
     tol_check_interval: int = 0
     # Mixed-precision refinement: when > 0 and mttkrp_precision is a lower
     # tier, models that converge at the fast tier get this many extra

@@ -20,12 +20,14 @@ _SO = os.path.join(_DIR, "libmttkrp_ref.so")
 
 
 def _load():
-    if not os.path.exists(_SO):
-        subprocess.run(
-            ["make", "-C", _DIR, "libmttkrp_ref.so"],
-            check=True,
-            capture_output=True,
-        )
+    # Always invoke make: a no-op when the .so is fresh, a rebuild when
+    # mttkrp_ref.cpp changed (an exists-only check would silently load a
+    # stale binary into the benchmark).
+    subprocess.run(
+        ["make", "-C", _DIR, "libmttkrp_ref.so"],
+        check=True,
+        capture_output=True,
+    )
     lib = ctypes.CDLL(_SO)
     dp = ctypes.POINTER(ctypes.c_double)
     lib.mttkrp3_f64.restype = None

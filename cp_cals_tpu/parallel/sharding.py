@@ -100,7 +100,10 @@ def state_pspecs(
     else:
         ls = ()
     hi = (
-        HiState(fit_prev=scalar, iters_prev=scalar, rate_prev=scalar)
+        HiState(
+            fit_prev=scalar, iters_prev=scalar, rate_prev=scalar,
+            gap_prev=scalar,
+        )
         if isinstance(state.hi, HiState)
         else ()
     )

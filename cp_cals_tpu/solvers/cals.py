@@ -114,9 +114,7 @@ def _jitted_programs(
         params, batched=True, mttkrp_methods=methods, has_jk=has_jk
     )
     cap = params.max_iterations if traced else 0
-    run = make_run_until_evict(
-        iteration, cap, getattr(params, "evict_batch", 1)
-    )
+    run = make_run_until_evict(iteration, cap, params.evict_batch)
 
     def step_stats(x, state, x_norm):
         out = iteration(x, state, x_norm)
@@ -479,12 +477,20 @@ def _pack_evict_stats(state: SolverState) -> Array:
 def _fetch(arr):
     """Host fetch that also works for multi-process global arrays.
 
-    Single-process: plain ``np.asarray``. Multi-process (jax.distributed):
-    dp-sharded arrays span non-addressable devices, so every process joins
-    a ``process_allgather`` (a collective — all processes MUST call in the
-    same order, which is why multi-process runs force bucket_threads=1 and
+    Plain ``np.asarray`` whenever the value is addressable from this
+    process — including HOST arrays and fully-addressable/replicated
+    device arrays, for which ``process_allgather`` would treat the input
+    as per-process local data and CONCATENATE the copies (the checkpoint
+    done-archive corruption bug). Only a device array that spans
+    non-addressable devices (dp-sharded under jax.distributed) joins the
+    allgather — a collective, so all processes MUST call in the same
+    order (which is why multi-process runs force bucket_threads=1 and
     serial materialization)."""
-    if jax.process_count() > 1:
+    if (
+        jax.process_count() > 1
+        and isinstance(arr, jax.Array)
+        and not arr.is_fully_addressable
+    ):
         from jax.experimental import multihost_utils
 
         return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
@@ -1207,11 +1213,8 @@ def cp_cals(
             for mid, kt_h in local_done.items():
                 # local_done values are HOST arrays on the checkpoint path
                 # (defer is disabled whenever checkpoint_dir is set, so
-                # _unpack_cols already ran on fetched results). Plain
-                # np.asarray — running _fetch here would process_allgather
-                # an already-host array under jax.distributed and CONCAT
-                # the per-process copies (archive corruption, 2x rows per
-                # save).
+                # _unpack_cols already ran on fetched results); _fetch now
+                # passes host/addressable values straight to np.asarray.
                 for m, f in enumerate(kt_h.factors):
                     arrays[f"{mid}_f{m}"] = np.asarray(f)
                 arrays[f"{mid}_lam"] = np.asarray(kt_h.lam)

@@ -349,7 +349,17 @@ def make_iteration(
                 # absolute test can stay above tol forever on jitter).
                 rate = (fit_hi - hi.fit_prev) / gap
                 seen = hi.iters_prev > 0  # needs one prior check on record
-                d_k = extrapolated_delta(rate, hi.rate_prev, gap)
+                gap_i = jnp.maximum(iters - hi.iters_prev, 1)
+                # The decay inference needs EQUAL window lengths (rho^gap
+                # = rate/rate_prev); after a check-phase shift (rare: a
+                # max_iterations-capped eviction at a non-multiple of K)
+                # windows differ — feed rate_prev=0 so the estimator
+                # falls back to the raw window rate for that check.
+                rp = jnp.where(
+                    gap_i == hi.gap_prev, hi.rate_prev,
+                    jnp.zeros_like(hi.rate_prev),
+                )
+                d_k = extrapolated_delta(rate, rp, gap)
                 conv = seen & (d_k < params.tol)
                 # Record the window rate only once the window is REAL (the
                 # first check's "rate" is fit/K against the zero init, not
@@ -359,6 +369,9 @@ def make_iteration(
                     fit_prev=fit_hi,
                     iters_prev=iters,
                     rate_prev=jnp.where(seen, rate, jnp.zeros_like(rate)),
+                    gap_prev=jnp.where(
+                        seen, gap_i, jnp.zeros_like(gap_i)
+                    ),
                 )
                 # The checked fit/error replace the noisy fast-tier values
                 # (reports and eviction stats read these).

@@ -55,6 +55,12 @@ class HiState(NamedTuple):
     # letting the stop extrapolate the CURRENT delta instead of the
     # window average (which lags it and inflates iteration counts).
     rate_prev: Array  # [...]
+    # Length of rate_prev's window. The decay inference rho^gap =
+    # rate/rate_prev only holds for EQUAL windows; after a check-phase
+    # shift (e.g. a max_iterations-capped eviction at a non-multiple of
+    # K) windows differ and the extrapolation falls back to the raw
+    # window rate until two equal windows are on record again.
+    gap_prev: Array  # [...] int32
 
 
 class SolverState(NamedTuple):
@@ -134,7 +140,11 @@ def init_state(
         )
     else:
         ls = ()
-    hi = HiState(fit_prev=f, iters_prev=i0, rate_prev=f) if mixed_tol else ()
+    hi = (
+        HiState(fit_prev=f, iters_prev=i0, rate_prev=f, gap_prev=i0)
+        if mixed_tol
+        else ()
+    )
     return SolverState(
         kt=kt,
         grams=grams,

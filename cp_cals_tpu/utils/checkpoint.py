@@ -61,6 +61,13 @@ def load_state(path: str, template: SolverState) -> tuple[SolverState, dict]:
     """Restore into the structure of ``template`` (shapes must match)."""
     data = np.load(_base(path) + ".npz")
     leaves, treedef = jax.tree.flatten(template)
+    if len(data.files) != len(leaves):
+        raise ValueError(
+            f"checkpoint at {path!r} has {len(data.files)} state leaves "
+            f"but the current SolverState layout has {len(leaves)} — it "
+            "was written by a different library version and cannot be "
+            "resumed; restart the run without resume=True"
+        )
     loaded = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
     for a, b in zip(loaded, leaves):
         if a.shape != jnp.shape(b):

@@ -164,6 +164,7 @@ def main():
         "tol": args.tol, "max_iter": args.max_iter,
         "tol_check_interval": args.tol_check, "polish_iters": args.polish,
         "evict_batch": args.evict_batch,
+        "result_wire_dtype": params.result_wire_dtype,
         "mttkrp_precision": "default", "precision": "high",
         "copies": copies,
         "wall_s": round(wall, 3),

@@ -215,7 +215,9 @@ def main():
         "f64" if args.oracle else
         ("f32" if args.tier == "default" else f"f32_{args.tier}"),
         tier=args.tier,
-        polish=args.polish_iters,
+        # Override applies to the fp32 tier under study only — the fp64
+        # oracle leg must keep polish at 0 to stay the baseline.
+        polish=None if args.oracle else args.polish_iters,
     )
 
 
