@@ -49,6 +49,13 @@ def sample_config(rng: random.Random):
             tail_compaction_depth=rng.choice([0, 2]),
             force_max_iter=rng.random() < 0.2,
             solve_method=rng.choice(["gj", "chol"]),
+            # Round-4 knobs. K=5 only (max_iterations above are multiples
+            # of 5, so capped evictions also land on check boundaries and
+            # refilled models keep solo-ALS check phase); polish/wire stay
+            # out of this sweep (they intentionally change the returned
+            # factors beyond the 1e-11 bit-match band).
+            tol_check_interval=rng.choice([0, 5]),
+            evict_batch=rng.choice([1, 4]),
         ),
     }
 
@@ -112,6 +119,7 @@ def test_random_config_cals_equals_als(seed):
         line_search_method=p.line_search_method,
         force_max_iter=p.force_max_iter,
         solve_method=p.solve_method,
+        tol_check_interval=p.tol_check_interval,
     )
     for kt0, kt_cals, mrep in zip(kts, results, rep.models):
         kt_als, rep_als = cp_als(x, kt0, ap)
