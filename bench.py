@@ -152,7 +152,10 @@ def main():
         # FLOPs and padded result-fetch bytes.
         bucket_ranks=tuple(
             int(r)
-            for r in os.environ.get("BENCH_BUCKETS", "4,8,16,20").split(",")
+            # 12 in the grid: ranks 9-12 otherwise pad to 16 (+40% dead
+            # columns for 80 of the 400 models). Back-to-back A/B:
+            # 1411.5 vs 1287.5 models/s (~1.10x).
+            for r in os.environ.get("BENCH_BUCKETS", "4,8,12,16,20").split(",")
         ),
         line_search=False,
         # bf16_3x matmul passes: f32-equivalent accuracy for this workload
