@@ -133,7 +133,11 @@ def main():
     queue = specs
     params = CalsParams(
         tol=args.tol, max_iterations=args.max_iter,
-        bucket_ranks=(4, 8, 16, 20),
+        # Same grid as bench.py: the rank-12 bucket saves ~12% dead-column
+        # compute on this queue (A/B in bench_best_measured.json). The
+        # fp64 oracle leg keeps its grid — bucketing is trajectory-
+        # invariant (CALS==ALS), so its per-model iters/fits still apply.
+        bucket_ranks=(4, 8, 12, 16, 20),
         buffer_size=int(os.environ.get("BENCH_BUFFER", "2880")),
         bucket_threads=int(os.environ.get("BENCH_THREADS", "4")),
         precision="high",
