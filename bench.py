@@ -309,7 +309,12 @@ def main():
         kt5 = results[best_r5.id]
         jk_params = CalsParams(
             tol=1e-6, max_iterations=100, buffer_size=4200,
-            bucket_ranks=(8,), precision="high", sync_mode="evict",
+            # A/B note: an exact-rank (5,) bucket (37.5% less padded
+            # compute) measured 867 vs 896 reps/s at bucket 8 on
+            # comparable chip passes — the JK leg is round-trip-bound,
+            # not compute-bound, so the padding doesn't pay here.
+            bucket_ranks=(int(os.environ.get("BENCH_JK_BUCKET", "8")),),
+            precision="high", sync_mode="evict",
             # Fast tier for the tol-driven JK flagship: bf16 MTTKRP with
             # the mixed-tier stopping check + polish. SE-band fidelity vs
             # the fp64 oracle: scripts/jk_fidelity_study.py tier
