@@ -119,6 +119,76 @@ def require_backend(timeout_s=None):
     return result[0]
 
 
+def probe_link(n=3):
+    """Measure the health of the chip + tunnel and return it for the bench
+    JSON (VERDICT r4 #1: a judged capture on a degraded link must be
+    distinguishable from a regression). Three signals:
+
+    - rtt_ms: null dispatch + scalar-fetch round trip (the per-block
+      sync cost; healthy 28-42 ms on this tunnel, docs/PROFILE.md).
+    - d2h_mbps: device->host fetch bandwidth on fresh ~4 MB arrays (the
+      result-extraction binder; healthy ~20-55 MB/s). Fresh arrays per
+      rep — JAX caches the host copy of a fetched array.
+    - matmul_tflops: chained bf16 4096^2 matmuls, DCE-proof (consumed via
+      sum), null-RTT-debiased — pure chip health, independent of the
+      link (healthy 148-206 TF/s, docs/PROFILE.md peak probes).
+    """
+    import numpy as _np
+
+    rtts = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        float(jnp.asarray(float(i)) + 1.0)
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+
+    nel = 1 << 20  # 4 MB f32
+    bws = []
+    for i in range(n):
+        a = jnp.arange(nel, dtype=jnp.float32) + float(i)
+        float(jnp.sum(a))  # materialize on device before timing the fetch
+        t0 = time.perf_counter()
+        _np.asarray(a)
+        bws.append(4 * nel / max(time.perf_counter() - t0, 1e-9) / 1e6)
+
+    m, steps = 4096, 64
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    a = jax.random.normal(k1, (m, m), jnp.bfloat16)
+    b = jax.random.normal(k2, (m, m), jnp.bfloat16) / jnp.sqrt(
+        jnp.float32(m)
+    ).astype(jnp.bfloat16)
+
+    @jax.jit
+    def chain(a, b):
+        def body(_, x):
+            return x @ b  # reads the carry: un-hoistable
+
+        return jnp.sum(
+            jax.lax.fori_loop(0, steps, body, a).astype(jnp.float32)
+        )
+
+    float(chain(a, b))  # warm/compile
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(chain(a, b))
+        ts.append(time.perf_counter() - t0)
+    step_s = max((min(ts) - rtt) / steps, 1e-9)
+    tflops = 2 * m**3 / step_s / 1e12
+    return {
+        "rtt_ms": round(rtt * 1e3, 1),
+        "d2h_mbps": round(max(bws), 1),
+        "matmul_tflops": round(tflops, 1),
+    }
+
+
+def probe_is_degraded(p):
+    """Healthy bands from the committed device profile (docs/PROFILE.md):
+    chip 148-206 TF/s bf16, link RTT 28-42 ms. Below/above generous
+    margins of those, a timed capture mostly measures contention."""
+    return p["matmul_tflops"] < 70.0 or p["rtt_ms"] > 150.0
+
+
 def main():
     from cp_cals_tpu.config import CalsParams
     from cp_cals_tpu.ops.mttkrp import als_iteration_flops
@@ -199,15 +269,62 @@ def main():
     cp_cals(x, queue, params)
     warm_s = time.perf_counter() - t0
 
+    # ---- measurement protocol (VERDICT r4 #1: robust to the shared
+    # tunneled chip's 2-3x throughput drift) ----------------------------
+    # 1. Probe link/chip health; if degraded, wait and re-probe (bounded)
+    #    before burning the timed window on a contended chip.
+    # 2. Adaptive best-of-N: reps are cheap (~0.4-1 s) next to warmup, so
+    #    run at least BENCH_REPS and keep extending while the spread
+    #    exceeds 1.3x or the best is still improving, up to a cap.
+    # 3. Record per-rep walls + probes in the JSON so a judged capture on
+    #    a bad chip pass is distinguishable from a regression.
+    probes = [probe_link(2 if SMOKE else 3)]
+    waits = 0
+    max_waits = 0 if SMOKE else int(os.environ.get("BENCH_PROBE_WAITS", "4"))
+    while probe_is_degraded(probes[-1]) and waits < max_waits:
+        time.sleep(45)
+        waits += 1
+        probes.append(probe_link(3))
+
+    min_reps = 2 if SMOKE else int(os.environ.get("BENCH_REPS", "8"))
+    max_reps = 3 if SMOKE else int(os.environ.get("BENCH_MAX_REPS", "20"))
+    rep_walls: list = []
     wall_s = float("inf")
     mat_s = 0.0
-    n_reps = 2 if SMOKE else 5
-    for _ in range(n_reps):  # best-of-N: shared-chip throughput is noisy
+    best_idx = -1
+    while len(rep_walls) < max_reps:
         t0 = time.perf_counter()
         results, rep = cp_cals(x, queue, params)
         run_s = time.perf_counter() - t0
+        rep_walls.append(run_s)
         if run_s < wall_s:
-            wall_s, mat_s = run_s, rep.materialize_s
+            wall_s, mat_s, best_idx = run_s, rep.materialize_s, len(rep_walls) - 1
+        if len(rep_walls) < min_reps:
+            continue
+        spread = max(rep_walls) / wall_s
+        # Stop once the spread is tight, or once the best has stopped
+        # improving for 4 consecutive reps (a stable floor under drift).
+        if spread <= 1.3 or (len(rep_walls) - best_idx) > 4:
+            break
+    # A capture whose floor is still far off the committed best while the
+    # chip probes degraded gets ONE more wait + re-measure cycle.
+    if (
+        not SMOKE
+        and waits < max_waits
+        and len(queue) / wall_s < 0.6 * float(
+            os.environ.get("BENCH_EXPECT", "1200")
+        )
+        and probe_is_degraded(probe_link(3))
+    ):
+        time.sleep(60)
+        probes.append(probe_link(3))
+        for _ in range(min_reps):
+            t0 = time.perf_counter()
+            results, rep = cp_cals(x, queue, params)
+            run_s = time.perf_counter() - t0
+            rep_walls.append(run_s)
+            if run_s < wall_s:
+                wall_s, mat_s = run_s, rep.materialize_s
 
     n_models = len(queue)
     models_per_sec = n_models / wall_s
@@ -251,6 +368,14 @@ def main():
         "materialize_s": round(mat_s, 3),
         "useful_gflops": round(useful_flops / 1e9, 1),
         "device": str(jax.devices()[0]),
+        # Measurement-health telemetry (VERDICT r4 #1): every rep's wall,
+        # the spread, and the link/chip probes taken around the timed
+        # block — so the artifact itself shows the capture conditions.
+        "rep_walls_s": [round(w, 3) for w in rep_walls],
+        "rep_spread": round(max(rep_walls) / wall_s, 2),
+        "link_probe": probes[-1],
+        "link_probes_all": probes if len(probes) > 1 else None,
+        "degraded_capture": probe_is_degraded(probes[-1]),
         # MTTKRP dispatch sources (VERDICT r2 #3): every per-mode method
         # decision this process made, by origin — exact LUT entry /
         # nearest-measured-B*R entry / shape heuristic. The committed grid
@@ -321,8 +446,17 @@ def main():
             # default_check (data/benchmarks/jk_fp32_vs_fp64.json).
             mttkrp_precision=os.environ.get("BENCH_JK_TIER", "default")
             or None,
-            tol_check_interval=5,
-            polish_iters=2,
+            # Mixed-tier checks + polish belong to the fast tier only:
+            # with BENCH_JK_TIER="" (the full-tier A/B baseline) they must
+            # stay off, or the baseline runs a different stopping rule and
+            # an extra full-precision MTTKRP per K iterations — not
+            # apples-to-apples (mirrors cli.py's --fast gating).
+            tol_check_interval=(
+                5 if os.environ.get("BENCH_JK_TIER", "default") else 0
+            ),
+            polish_iters=(
+                2 if os.environ.get("BENCH_JK_TIER", "default") else 0
+            ),
             # Same wire default as the headline leg (BENCH_WIRE=""
             # disables both) so the JK metric runs the tested production
             # fast-tier config.

@@ -93,9 +93,10 @@ class AlsParams:
     mttkrp_precision: Optional[str] = None
     # Mixed-tier tol-driven stopping: when > 0, the per-iteration stopping
     # criterion (|fit - old_fit| < tol, reference als.cpp:273-276) is
-    # replaced by a periodic high-fidelity check — every K-th iteration one
-    # extra last-mode MTTKRP runs at full `precision` and the model stops
-    # when its K-iteration-averaged high-tier fit delta drops below tol.
+    # replaced by periodic high-fidelity check PAIRS — at iterations mK-1
+    # and mK one extra last-mode MTTKRP runs at full `precision`, so the
+    # decision check holds the EXACT single-iteration high-tier fit delta
+    # and the model stops when it drops below tol.
     # This is what makes the fast bf16 `mttkrp_precision` tier usable under
     # tol-driven protocols: the in-sweep bf16 fit is too noisy to resolve
     # tol=1e-6..1e-7 deltas (iteration counts inflate 5-25x), while the
@@ -155,19 +156,20 @@ class CalsParams:
     # plain tol-driven and statistics runs should stay on the "high" tier.
     mttkrp_precision: Optional[str] = None
     # Mixed-tier tol-driven stopping (see AlsParams.tol_check_interval):
-    # every K-th engine iteration the stopping criterion is evaluated from
-    # one extra full-`precision` last-mode MTTKRP; models stop when their
-    # per-iteration high-tier fit delta (averaged since the last check)
-    # drops below tol. Makes mttkrp_precision="default" safe under the
-    # reference's tol-driven protocols at ~1/K relative overhead.
+    # checks run in adjacent pairs at engine iterations mK-1 and mK, each
+    # one extra full-`precision` last-mode MTTKRP; the decision check holds
+    # the EXACT single-iteration high-tier fit delta (the reference's
+    # criterion at the high tier) and models stop when it drops below tol.
+    # Makes mttkrp_precision="default" safe under the reference's
+    # tol-driven protocols at ~2/K relative overhead.
     # Phase note: tol-converged evictions land on check boundaries, so
     # refilled models keep checks at their OWN multiples of K (solo-ALS
     # equivalent). A max_iterations-capped eviction at a non-multiple of K
-    # shifts later refills' check phase by up to K-1 iterations — the
-    # per-model `gap` normalization keeps the WINDOW-RATE criterion exact
-    # either way, and the decay extrapolation additionally requires two
-    # EQUAL-length windows (iteration.py gates on gap == gap_prev and
-    # falls back to the raw window rate across a phase shift).
+    # shifts later refills' check phase by up to K-1 iterations — a
+    # decision check whose previous check is then NOT the adjacent
+    # iteration falls back to the window-rate decay extrapolation
+    # (iteration.py gates on gap == 1 for the exact path and on
+    # gap == gap_prev for the extrapolation).
     tol_check_interval: int = 0
     # Mixed-precision refinement: when > 0 and mttkrp_precision is a lower
     # tier, models that converge at the fast tier get this many extra
@@ -218,7 +220,7 @@ class CalsParams:
     # unaffected (computed before the cast); only the RETURNED factor
     # values round to the wire dtype (factors are normalized columns:
     # float16 rounds at ~5e-4 relative, bfloat16 at ~4e-3 — fidelity A/B
-    # in data/benchmarks/wire_dtype_ab.json). Results are cast back to the
+    # in data/benchmarks/wire_ab.json). Results are cast back to the
     # queue dtype on the host.
     result_wire_dtype: Optional[str] = None
     # Debug oracle: warn when a model's error rises > 1e-4 between

@@ -45,7 +45,11 @@ class LsState(NamedTuple):
 class HiState(NamedTuple):
     """Mixed-tier stopping carry (config.tol_check_interval): the model's
     full-precision fit and iteration count at its last periodic check, so
-    the next check can form the per-iteration high-tier fit delta."""
+    the next check can form the per-iteration high-tier fit delta. Checks
+    run in adjacent pairs (iterations mK-1 and mK), so the decision check
+    usually sees gap == 1 and reads the EXACT single-iteration delta; the
+    rate/gap fields only feed the decay-extrapolation fallback for
+    phase-shifted (non-adjacent) windows."""
 
     fit_prev: Array  # [...] — high-tier fit at the previous check
     iters_prev: Array  # [...] int32 — this model's iters at that check

@@ -550,3 +550,51 @@ def test_mixed_tier_tol_stopping_nnls():
         assert abs(ro.fit - rm.fit) < 1e-6
         for f in kt_m.factors:
             assert (np.asarray(f) >= 0).all()
+
+
+def test_mixed_tier_with_line_search_no_blind_eviction():
+    """Mixed-tier checks composed with NEC line search (ADVICE r4): a
+    model must never evict on the very iteration a blind extrapolation was
+    applied — the check's fit_hi reads the unvalidated candidate, and a
+    regressed candidate gives rate < 0 < tol, which would evict factors
+    the next-iteration revert would have rolled back.
+
+    Adversarial construction: line_search_interval == tol_check_interval
+    == 5 makes every extrapolation land exactly on a decision check, and a
+    large fixed step makes most extrapolations regress (frequent reverts).
+    The guard (conv gated on ~ls.updated_last) must leave every returned
+    model at reference line-search quality: same final error as the plain
+    per-iteration-stop line-search oracle to the fit tolerance band.
+    """
+    import dataclasses
+
+    K = 5
+    x, kts = make_problem(17, n_models=6, ranks=(3, 4))
+    base = AlsParams(
+        tol=1e-8, max_iterations=300, line_search=True,
+        line_search_interval=K, line_search_step=4.0,
+    )
+    for kt in kts[:3]:
+        kt_o, ro = cp_als(x, kt, base)
+        kt_m, rm = cp_als(
+            x, kt, dataclasses.replace(base, tol_check_interval=K)
+        )
+        # A blind-eviction bug returns an unreverted extrapolated model:
+        # its error is catastrophically worse than the oracle's (the step-4
+        # candidate overshoots by orders of magnitude). The guard keeps the
+        # returned error in the oracle's band.
+        assert rm.approx_error < ro.approx_error * 1.5 + 1e-6, (
+            rm.approx_error, ro.approx_error,
+        )
+        assert abs(rm.fit - ro.fit) < 1e-5
+
+    # Same composition through the CALS engine (eviction path).
+    params = CalsParams(
+        tol=1e-8, max_iterations=300, bucket_ranks=(4,), buffer_size=16,
+        line_search=True, line_search_interval=K, line_search_step=4.0,
+        tol_check_interval=K,
+    )
+    res, rep = cp_cals(x, kts, params)
+    for kt0, m in zip(kts, rep.models):
+        _, ro = cp_als(x, kt0, base)
+        assert m.approx_error < ro.approx_error * 1.5 + 1e-6
