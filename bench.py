@@ -454,8 +454,20 @@ def main():
             tol_check_interval=(
                 5 if os.environ.get("BENCH_JK_TIER", "default") else 0
             ),
+            # Statistics-grade fast tier (VERDICT r4 #4): polish each
+            # replicate TO CONVERGENCE at full precision (polish_tol)
+            # before rescale/LSAP, so the SE bands users read match the
+            # fp64 oracle's (fidelity: jk_fp32_vs_fp64.json tier
+            # default_polish_conv). BENCH_JK_POLISH_TOL=0 reverts to the
+            # fixed-2-sweep throughput tier.
             polish_iters=(
-                2 if os.environ.get("BENCH_JK_TIER", "default") else 0
+                (25 if float(os.environ.get("BENCH_JK_POLISH_TOL", "1e-6"))
+                 else 2)
+                if os.environ.get("BENCH_JK_TIER", "default") else 0
+            ),
+            polish_tol=(
+                float(os.environ.get("BENCH_JK_POLISH_TOL", "1e-6"))
+                if os.environ.get("BENCH_JK_TIER", "default") else 0.0
             ),
             # Same wire default as the headline leg (BENCH_WIRE=""
             # disables both) so the JK metric runs the tested production
@@ -476,6 +488,14 @@ def main():
         n_reps = len(jk_rep.results[0])
         out["jk_replicates_per_sec"] = round(n_reps / jk_s, 2)
         out["jk_wall_s"] = round(jk_s, 3)
+        # SE-fidelity tier actually run (VERDICT r4 #4): maps to the tier
+        # tags of data/benchmarks/jk_fp32_vs_fp64.json.
+        tier = os.environ.get("BENCH_JK_TIER", "default")
+        out["jk_tier"] = (
+            "high" if not tier
+            else "default_polish_conv" if jk_params.polish_tol > 0
+            else "default_check"
+        )
 
     print(json.dumps(out))
 

@@ -179,6 +179,16 @@ class CalsParams:
     # per eviction round). Reported iters exclude polish sweeps; evict-mode
     # only. TPU-native extension (no reference analog).
     polish_iters: int = 0
+    # Polish-to-convergence (statistics-grade fast tier, VERDICT r4 #4):
+    # when > 0, polish sweeps continue until every polishing model's
+    # full-precision fit delta drops below this tol (bounded by
+    # polish_iters as the sweep cap) instead of running exactly
+    # polish_iters sweeps. Drives every replicate to the high-tier ALS
+    # fixed point before extraction, so jackknife SE bands measured on
+    # fast-tier runs match the full-precision oracle's (the fixed-2-sweep
+    # polish leaves bf16 trajectory scatter ~10-30x the dtype floor on
+    # short modes — data/benchmarks/jk_fp32_vs_fp64.json).
+    polish_tol: float = 0.0
     # Normal-matrix solve: "gj" / "chol" / "pallas" (see AlsParams).
     solve_method: str = "gj"
     # Per-mode epilogue: "auto" / "fused" / "xla" (see AlsParams).

@@ -4,6 +4,7 @@ from .jackknife import (
     JKReport,
     jackknife_norms,
     jk_cp_als,
+    jk_cp_batched_als,
     jk_cp_cals,
     jk_permutation_adjustment,
 )

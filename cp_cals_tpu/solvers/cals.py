@@ -82,18 +82,33 @@ def _resolve_bucket_methods(
     main sweeps, full-`precision` methods for polish sweeps). The LUT is
     keyed by precision tier because the method ranking flips between tiers
     (utils/lut.py:_key) — polish sweeps run at params.precision and must
-    not inherit a bf16-tier-measured pick."""
+    not inherit a bf16-tier-measured pick.
+
+    On TPU, a MISSING exact LUT entry is autotuned on the spot and
+    persisted (utils/lut.ensure_methods — the runtime analog of the
+    reference's AUTO+LUT dispatch, mttkrp.cpp:575-587, with the offline
+    generate_LUTs.py folded in), so every engine entry point runs measured
+    dispatch even at shapes the committed grid missed (VERDICT r4 #6).
+    Off by CP_CALS_NO_AUTOTUNE=1 (timed experiments that must not pay
+    tuning compiles), and under multi-process runs (autotune dispatches
+    would break lockstep collective order)."""
     if params.mttkrp_method.value != "auto":
         return None, None
-    from ..utils.lut import lookup_methods
+    import os
 
+    from ..utils.lut import ensure_methods, lookup_methods
+
+    tune = (
+        jax.default_backend() == "tpu"
+        and jax.process_count() == 1
+        and not os.environ.get("CP_CALS_NO_AUTOTUNE")
+    )
+    get = ensure_methods if tune else lookup_methods
     fast_tier = params.mttkrp_precision or params.precision
-    methods = lookup_methods(x_shape, r, b, precision=fast_tier)
+    methods = get(x_shape, r, b, precision=fast_tier)
     polish_methods = None
     if getattr(params, "polish_iters", 0) and params.mttkrp_precision:
-        polish_methods = lookup_methods(
-            x_shape, r, b, precision=params.precision
-        )
+        polish_methods = get(x_shape, r, b, precision=params.precision)
         if polish_methods == methods:
             polish_methods = None  # same picks: share the compiled program
     return methods, polish_methods
@@ -149,14 +164,39 @@ def _jitted_programs(
             has_jk=has_jk,
         )
         n_polish = params.polish_iters
+        polish_tol = getattr(params, "polish_tol", 0.0)
 
         def polish_body(x, state, x_norm):
             prepared = p_iter.prepare(x)
-            s = state
-            for _ in range(n_polish):
-                s = p_iter(x, s, x_norm, prepared)
-            s = s._replace(converged=state.converged, iters=state.iters)
             sel = state.converged & state.alive
+            if polish_tol > 0:
+                # Polish-to-convergence (config.polish_tol): sweep until
+                # every polishing model's full-precision fit delta is
+                # below polish_tol (polish_iters = sweep cap). Each model
+                # freezes at ITS OWN fixed point — the statistics-grade
+                # fast tier: replicates leave at the high-tier ALS fixed
+                # point, so JK scatter reads model variation, not bf16
+                # trajectory noise.
+                def cond(carry):
+                    _, done, k = carry
+                    return (k < n_polish) & jnp.logical_not(jnp.all(done))
+
+                def body(carry):
+                    s, done, k = carry
+                    s2 = p_iter(x, s, x_norm, prepared)
+                    d = jnp.abs(s2.fit - s.fit)
+                    s3 = tree_where(done, s, s2)
+                    return s3, done | (d < polish_tol), k + 1
+
+                s, _, _ = jax.lax.while_loop(
+                    cond, body,
+                    (state, jnp.logical_not(sel), jnp.int32(0)),
+                )
+            else:
+                s = state
+                for _ in range(n_polish):
+                    s = p_iter(x, s, x_norm, prepared)
+            s = s._replace(converged=state.converged, iters=state.iters)
             return tree_where(sel, s, state)
 
     def run_stats(x, state, x_norm):

@@ -42,6 +42,11 @@ def reset_lookup_stats() -> None:
         LOOKUP_STATS[k] = 0
 
 
+import threading as _threading  # noqa: E402
+
+_TUNE_LOCK = _threading.Lock()
+
+
 def _tier(precision: str | None) -> str:
     """Normalize a matmul precision name to its LUT tier. "high" (bf16_3x)
     and "highest" (fp32 accum) share the full-precision tier — the measured
@@ -218,10 +223,14 @@ def ensure_methods(
     the reference's offline generate_LUTs.py: every program the engine is
     about to compile gets a measured dispatch decision). Call on the
     production backend (TPU); measurement costs a few compiles per missing
-    (batch, rank)."""
+    (batch, rank). Thread-safe: the engine resolves bucket methods from
+    parallel bucket threads (solvers/cals.py), and concurrent autotunes of
+    the same shape would duplicate compiles and race the table write."""
     if not has_exact_entries(modes, rank, batch, precision):
-        autotune(modes, rank, batch, dtype=dtype, reps=reps,
-                 precision=precision)
+        with _TUNE_LOCK:
+            if not has_exact_entries(modes, rank, batch, precision):
+                autotune(modes, rank, batch, dtype=dtype, reps=reps,
+                         precision=precision)
     return lookup_methods(modes, rank, batch, precision)
 
 

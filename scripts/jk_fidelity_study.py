@@ -86,16 +86,26 @@ def run(dtype, tag, tier="default", polish=None):
         # fp32 tiers under study: "default" = the bench's bf16 MTTKRP +
         # polish (throughput config), "high" = bf16_3x everywhere (the
         # f32-equivalent tier), "default_check" = bf16 MTTKRP + the
-        # mixed-tier stopping check (config.tol_check_interval) + polish.
+        # mixed-tier stopping check (config.tol_check_interval) + polish,
+        # "default_polish_conv" = default_check with POLISH-TO-CONVERGENCE
+        # (config.polish_tol: full-precision sweeps until each replicate
+        # reaches its high-tier fixed point; the statistics-grade fast
+        # tier, VERDICT r4 #4).
         # The round-3 comparison showed the bf16 tier's convergence noise
         # under a PLAIN tol stop dominates the JK scatter (3-27x) — the
         # mixed-tier check exists to fix exactly that (round 4).
         mttkrp_precision=(
             None if (is_f64 or tier == "high") else "default"
         ),
-        tol_check_interval=5 if tier == "default_check" else 0,
-        polish_iters=(0 if (is_f64 or tier == "high") else 2)
-        if polish is None else polish,
+        tol_check_interval=(
+            5 if tier in ("default_check", "default_polish_conv") else 0
+        ),
+        polish_iters=(
+            (25 if tier == "default_polish_conv" else
+             0 if (is_f64 or tier == "high") else 2)
+            if polish is None else polish
+        ),
+        polish_tol=1e-6 if tier == "default_polish_conv" else 0.0,
         sync_mode="evict",
     )
     import time
@@ -126,7 +136,9 @@ def run(dtype, tag, tier="default", polish=None):
 def compare():
     a = np.load(os.path.join(WORK, "jk_fidelity_f64.npz"))
     out = {"modes": list(MODES), "rank": RANK, "tiers": {}}
-    for tag in ("f32", "f32_high", "f32_default_check"):
+    for tag in (
+        "f32", "f32_high", "f32_default_check", "f32_default_polish_conv"
+    ):
         path32 = os.path.join(WORK, f"jk_fidelity_{tag}.npz")
         if not os.path.exists(path32):
             continue

@@ -598,3 +598,41 @@ def test_mixed_tier_with_line_search_no_blind_eviction():
     for kt0, m in zip(kts, rep.models):
         _, ro = cp_als(x, kt0, base)
         assert m.approx_error < ro.approx_error * 1.5 + 1e-6
+
+
+def test_polish_tol_converges_each_model():
+    """Polish-to-convergence (CalsParams.polish_tol, the statistics-grade
+    fast tier): converged models keep sweeping at full precision until
+    their own fit delta drops below polish_tol (polish_iters = cap).
+    Reported iteration counts stay those of the engine stop; returned
+    factors sit at (or past) the fixed point a long fixed-sweep polish
+    reaches; in-flight models are untouched."""
+    import dataclasses
+
+    x, kts = make_problem(23, n_models=6, ranks=(2, 3, 4))
+    base = CalsParams(
+        tol=1e-6, max_iterations=60, bucket_ranks=(2, 4), buffer_size=12,
+        sync_mode="evict",
+    )
+    res0, rep0 = cp_cals(x, kts, base)
+    conv = dataclasses.replace(base, polish_iters=25, polish_tol=1e-9)
+    res1, rep1 = cp_cals(x, kts, conv)
+    x_norm = float(jnp.linalg.norm(x))
+    for m0, m1 in zip(rep0.models, rep1.models):
+        assert m0.id == m1.id and m0.iters == m1.iters  # polish != progress
+    for k0, k1 in zip(res0, res1):
+        f0 = 1.0 - float(jnp.linalg.norm(x - to_tensor(k0))) / x_norm
+        f1 = 1.0 - float(jnp.linalg.norm(x - to_tensor(k1))) / x_norm
+        assert f1 >= f0 - 1e-12  # monotone refinement
+    # The to-convergence polish must reach what a deep fixed-sweep polish
+    # reaches: one more ALS sweep beyond it moves the fit < polish_tol.
+    from cp_cals_tpu.solvers import cp_als
+
+    for k1, kt0, m in zip(res1, kts, rep1.models):
+        ref, _ = cp_als(
+            x, k1,
+            AlsParams(tol=0.0, max_iterations=1, force_max_iter=True),
+        )
+        f1 = 1.0 - float(jnp.linalg.norm(x - to_tensor(k1))) / x_norm
+        f2 = 1.0 - float(jnp.linalg.norm(x - to_tensor(ref))) / x_norm
+        assert abs(f2 - f1) < 1e-8, (m.rank, f1, f2)
