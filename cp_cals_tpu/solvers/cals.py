@@ -278,6 +278,7 @@ def _block_builder(
     with_specs: bool,
     with_select: bool,
     mixed_tol: bool = False,
+    out_shardings=None,
 ):
     """ONE jitted program for a whole block intake or refill round.
 
@@ -297,6 +298,12 @@ def _block_builder(
     ``with_specs`` is False when every slot is an explicit model (e.g.
     jackknife replicate intake). Shapes are pow2-padded by the caller so
     refill rounds of varying width reuse one program.
+
+    ``out_shardings`` (hashable NamedSharding pytree): under a mesh, the
+    fused build+select compiles WITH the live state's shardings — one
+    program per sharded refill round, same as the host path (VERDICT r4
+    #8; the earlier mesh path built unsharded, device_put, then ran a
+    separate select program — an extra dispatch per refill round).
     """
     dtype = jnp.dtype(dtype_str)
     int_t = {2: jnp.int16, 4: jnp.int32, 8: jnp.int64}[dtype.itemsize]
@@ -389,7 +396,7 @@ def _block_builder(
             st = tree_where(sel, st, prev)
         return st
 
-    return jax.jit(build)
+    return jax.jit(build, out_shardings=out_shardings)
 
 
 @jax.jit
@@ -786,11 +793,20 @@ def precompile_buckets(
         )
         nnls = params.update_method == UpdateMethod.NNLS
 
-        def builder_for(part_shapes, with_specs, with_select):
+        def builder_for(part_shapes, with_specs, with_select, out_sh=None):
             return _block_builder(
                 x.shape, r, b, part_shapes, str(np_dtype), nnls,
                 params.line_search, with_specs, with_select,
-                params.tol_check_interval > 0,
+                params.tol_check_interval > 0, out_sh,
+            )
+
+        def select_shardings(prev):
+            if mesh is None:
+                return None
+            from ..parallel.sharding import state_pspecs, to_shardings
+
+            return to_shardings(
+                mesh, state_pspecs(prev, shard_mode0, mesh)
             )
 
         state = builder_for(None, True, False)(np.ones((b,), np_dtype), meta)
@@ -825,27 +841,22 @@ def precompile_buckets(
             )
         _mask_alive(out, np.ones((b,), bool))
         sel0 = np.zeros((b,), bool)
-        if mesh is None:
-            builder_for(None, True, True)(
-                np.ones((b,), np_dtype), meta, out, sel0
-            )
-        else:
-            # The mesh refill path builds unsharded, device_puts, then
-            # selects (_block_builder's fused select is host-path only).
-            _select_slots(out, jnp.asarray(sel0), state)
+        # Refill-round builder (fused build+select): under a mesh it
+        # compiles with the live state's shardings — the same one-program
+        # path the engine runs (VERDICT r4 #8).
+        builder_for(None, True, True, select_shardings(out))(
+            np.ones((b,), np_dtype), meta, out, sel0
+        )
         if has_explicit:
             # Explicit-model intake/refill programs (the jackknife flagship
             # path: B replicates of ONE fitted model dedup to n_u = 1).
             shapes = tuple((1, m, r) for m in x.shape) + ((1, r),)
             n_flat = sum(int(np.prod(s)) for s in shapes) + 2 * b
             flat = np.zeros((n_flat,), np_dtype)
-            exp_state = builder_for(shapes, False, False)(flat, meta)
-            if mesh is None:
-                builder_for(shapes, False, True)(
-                    flat, meta, out, sel0
-                )
-            else:
-                _select_slots(out, jnp.asarray(sel0), shard_state(exp_state))
+            builder_for(shapes, False, False)(flat, meta)
+            builder_for(shapes, False, True, select_shardings(out))(
+                flat, meta, out, sel0
+            )
         _fetch(stats)  # sync (stats packing is fused into the programs)
         return step, run_until_evict, out
 
@@ -1134,6 +1145,17 @@ def cp_cals(
             else:
                 flat = xnm
             meta = _pack_meta(seeds, jk_arr, alive_h, spec_mask_h, rank_mask)
+            out_sh = None
+            if mesh is not None and select_into is not None:
+                # Fused sharded refill: compile the build+select WITH the
+                # live state's shardings (one program per refill round,
+                # same as the host path; host-packed flat/meta inputs are
+                # replicated by the partitioner).
+                from ..parallel.sharding import state_pspecs, to_shardings
+
+                out_sh = to_shardings(
+                    mesh, state_pspecs(select_into[0], shard_mode0, mesh)
+                )
             builder = _block_builder(
                 x.shape,
                 r,
@@ -1143,10 +1165,11 @@ def cp_cals(
                 nnls,
                 params.line_search,
                 bool(spec_mask_h.any()),
-                select_into is not None and mesh is None,
+                select_into is not None,
                 params.tol_check_interval > 0,
+                out_sh,
             )
-            if select_into is not None and mesh is None:
+            if select_into is not None:
                 prev, sel = select_into
                 return builder(flat, meta, prev, jnp.asarray(sel))
             new_state = builder(flat, meta)
@@ -1159,11 +1182,6 @@ def cp_cals(
                         mesh, state_pspecs(new_state, shard_mode0, mesh)
                     ),
                 )
-                if select_into is not None:
-                    prev, sel = select_into
-                    new_state = _select_slots(
-                        prev, jnp.asarray(sel), new_state
-                    )
             return new_state
 
         # ------------------------------------------------- checkpoint setup

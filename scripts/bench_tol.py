@@ -45,10 +45,21 @@ def main():
     p.add_argument("--max-iter", type=int, default=1000)
     p.add_argument("--tol-check", type=int, default=5)
     p.add_argument("--polish", type=int, default=2)
+    p.add_argument("--polish-tol", type=float, default=0.0,
+                   help="config.polish_tol: polish converged models TO "
+                        "CONVERGENCE at full precision (--polish becomes "
+                        "the sweep cap) — drives each model to its "
+                        "high-tier fixed point before extraction")
     p.add_argument("--copies", type=int, default=None,
                    help="models per rank (default: 20, the bench workload; "
                         "the oracle may use fewer via --copies)")
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--mttkrp-tier", default="default",
+                   help="MTTKRP precision tier for the TPU leg: 'default' "
+                        "(bf16, needs --tol-check > 0), 'high' (bf16_3x, "
+                        "f32-equivalent; plain stop works), or '' to "
+                        "inherit --precision")
+    p.add_argument("--precision", default="high")
     p.add_argument("--evict-batch", type=int, default=1,
                    help="config.evict_batch: defer the host eviction sync "
                         "until this many models have converged (the tol "
@@ -140,10 +151,11 @@ def main():
         bucket_ranks=(4, 8, 12, 16, 20),
         buffer_size=int(os.environ.get("BENCH_BUFFER", "2880")),
         bucket_threads=int(os.environ.get("BENCH_THREADS", "4")),
-        precision="high",
-        mttkrp_precision="default",
+        precision=args.precision,
+        mttkrp_precision=args.mttkrp_tier or None,
         tol_check_interval=args.tol_check,
         polish_iters=args.polish,
+        polish_tol=args.polish_tol,
         evict_batch=args.evict_batch,
         # Half-width result wire (1.40x on the headline bench,
         # data/benchmarks/wire_ab.json); fits/iters are computed on
@@ -167,9 +179,11 @@ def main():
         "protocol": "tol-driven (reference experiments.cpp:100-150)",
         "tol": args.tol, "max_iter": args.max_iter,
         "tol_check_interval": args.tol_check, "polish_iters": args.polish,
+        "polish_tol": args.polish_tol,
         "evict_batch": args.evict_batch,
         "result_wire_dtype": params.result_wire_dtype,
-        "mttkrp_precision": "default", "precision": "high",
+        "mttkrp_precision": args.mttkrp_tier or None,
+        "precision": args.precision,
         "copies": copies,
         "wall_s": round(wall, 3),
         "models_per_sec": round(n_models / wall, 1),

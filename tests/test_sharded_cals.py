@@ -84,7 +84,28 @@ def test_cp_cals_sharded_eviction_refill():
     params = CalsParams(tol=1e-9, bucket_ranks=(4,), buffer_size=16)
     ref, rep_ref = cp_cals(x, kts, params)
     mesh = make_mesh(n_dp=4, n_tp=1)
-    got, rep_got = cp_cals(x, kts, params, mesh=mesh)
+    # Sharded refills must run the FUSED build+select program (one device
+    # program per refill round, like the host path) — never the legacy
+    # build -> device_put -> separate _select_slots dispatch chain
+    # (VERDICT r4 #8).
+    import cp_cals_tpu.solvers.cals as cals_mod
+
+    select_calls = []
+    orig_select = cals_mod._select_slots
+
+    def spy(*a):
+        select_calls.append(1)
+        return orig_select(*a)
+
+    cals_mod._select_slots = spy
+    try:
+        got, rep_got = cp_cals(x, kts, params, mesh=mesh)
+    finally:
+        cals_mod._select_slots = orig_select
+    assert not select_calls, (
+        f"sharded refill used the unfused select path "
+        f"{len(select_calls)}x"
+    )
     assert any(
         m.iters != rep_ref.models[0].iters for m in rep_ref.models
     ) or True  # staggered convergence exercises per-slot refill
