@@ -432,6 +432,16 @@ def main():
             key=lambda m: m.approx_error,
         )
         kt5 = results[best_r5.id]
+        # JK tier default: "" = the STATISTICS-GRADE "high" tier (bf16_3x
+        # everywhere) — its SE bands match the fp64 oracle (dtype error /
+        # JK scatter p99 0.23/0.42/1.43 per mode, jk_fp32_vs_fp64.json),
+        # which is what jackknife users consume. The bf16 tiers are
+        # faster but their trajectory noise moves replicates along flat
+        # factor directions, inflating SE scatter 7-33x — measured, and
+        # NOT repairable post-hoc (polish-to-convergence only reached
+        # 6.9/7.2/22.2: ALS cannot walk back flat-direction noise). Set
+        # BENCH_JK_TIER=default for the throughput-only fast tier.
+        jk_tier_env = os.environ.get("BENCH_JK_TIER", "")
         jk_params = CalsParams(
             tol=1e-6, max_iterations=100, buffer_size=4200,
             # A/B note: an exact-rank (5,) bucket (37.5% less padded
@@ -440,20 +450,13 @@ def main():
             # not compute-bound, so the padding doesn't pay here.
             bucket_ranks=(int(os.environ.get("BENCH_JK_BUCKET", "8")),),
             precision="high", sync_mode="evict",
-            # Fast tier for the tol-driven JK flagship: bf16 MTTKRP with
-            # the mixed-tier stopping check + polish. SE-band fidelity vs
-            # the fp64 oracle: scripts/jk_fidelity_study.py tier
-            # default_check (data/benchmarks/jk_fp32_vs_fp64.json).
-            mttkrp_precision=os.environ.get("BENCH_JK_TIER", "default")
-            or None,
+            mttkrp_precision=jk_tier_env or None,
             # Mixed-tier checks + polish belong to the fast tier only:
             # with BENCH_JK_TIER="" (the full-tier A/B baseline) they must
             # stay off, or the baseline runs a different stopping rule and
             # an extra full-precision MTTKRP per K iterations — not
             # apples-to-apples (mirrors cli.py's --fast gating).
-            tol_check_interval=(
-                5 if os.environ.get("BENCH_JK_TIER", "default") else 0
-            ),
+            tol_check_interval=(5 if jk_tier_env else 0),
             # Statistics-grade fast tier (VERDICT r4 #4): polish each
             # replicate TO CONVERGENCE at full precision (polish_tol)
             # before rescale/LSAP, so the SE bands users read match the
@@ -463,23 +466,24 @@ def main():
             polish_iters=(
                 (25 if float(os.environ.get("BENCH_JK_POLISH_TOL", "1e-6"))
                  else 2)
-                if os.environ.get("BENCH_JK_TIER", "default") else 0
+                if jk_tier_env else 0
             ),
             polish_tol=(
                 float(os.environ.get("BENCH_JK_POLISH_TOL", "1e-6"))
-                if os.environ.get("BENCH_JK_TIER", "default") else 0.0
+                if jk_tier_env else 0.0
             ),
             # Same wire default as the headline leg (BENCH_WIRE=""
             # disables both) so the JK metric runs the tested production
             # fast-tier config.
             result_wire_dtype=os.environ.get("BENCH_WIRE", "float16")
             or None,
-            # config.evict_batch: measured A/B on the tol leg says the
-            # per-event cadence wins on this tunnel (mixed-tier checks
-            # already cluster convergence events at K-iteration
-            # boundaries; deferral added a full-state select/iteration
-            # and idled frozen slots for 1.6x worse wall) — keep 1.
-            evict_batch=int(os.environ.get("BENCH_JK_EVICT", "1")),
+            # config.evict_batch: the high tier's per-iteration stops
+            # scatter convergence events, so deferring the eviction sync
+            # until ~48 replicates have converged collapses ~dozens of
+            # 35 ms host round trips into a handful. Measured ladder
+            # (reps/s at the high tier): eb=1 ~411 (round 3), 8 -> 496,
+            # 24 -> 607, 48 -> 717, 96 -> 625 (idle-slot cost wins).
+            evict_batch=int(os.environ.get("BENCH_JK_EVICT", "48")),
         )
         jk_cp_cals(x, [kt5], jk_params)  # warm
         t0 = time.perf_counter()
@@ -490,9 +494,8 @@ def main():
         out["jk_wall_s"] = round(jk_s, 3)
         # SE-fidelity tier actually run (VERDICT r4 #4): maps to the tier
         # tags of data/benchmarks/jk_fp32_vs_fp64.json.
-        tier = os.environ.get("BENCH_JK_TIER", "default")
         out["jk_tier"] = (
-            "high" if not tier
+            "high" if not jk_tier_env
             else "default_polish_conv" if jk_params.polish_tol > 0
             else "default_check"
         )

@@ -177,12 +177,15 @@ def make_iteration(
             return heuristic_methods(x.shape)
         return tuple(default_method for _ in range(x.ndim))
 
+    layout_policy = getattr(params, "mode_layouts", "materialized")
+
     def prepare(x):
         """Loop-invariant tensor layouts; compute once per solve, outside
-        the iteration loop."""
+        the iteration loop. Under mode_layouts="recompute" nothing is
+        prepared — layouts are derived inside the loop (config.py)."""
         from ..ops.mttkrp import prepare_batched
 
-        if not batched:
+        if not batched or layout_policy == "recompute":
             return None
         return prepare_batched(x, resolve_methods(x))
 
@@ -213,6 +216,13 @@ def make_iteration(
     ) -> SolverState:
         n_modes = x.ndim
         iters = state.iters + 1
+        if batched and layout_policy == "recompute":
+            # Tie the tensor to a loop-carried value so the per-mode
+            # layout transposes CANNOT be hoisted out of the while_loop
+            # (XLA's LICM would otherwise rematerialize all N layouts
+            # ahead of the loop, defeating the policy): each iteration
+            # re-derives and frees them, peak residency ~X + 1 layout.
+            x = jax.lax.optimization_barrier((x, iters))[0]
         kt, grams, active, ls = state.kt, state.grams, state.active, state.ls
 
         # Line-search snapshot of the previous model state, taken before the

@@ -636,3 +636,23 @@ def test_polish_tol_converges_each_model():
         f1 = 1.0 - float(jnp.linalg.norm(x - to_tensor(k1))) / x_norm
         f2 = 1.0 - float(jnp.linalg.norm(x - to_tensor(ref))) / x_norm
         assert abs(f2 - f1) < 1e-8, (m.rank, f1, f2)
+
+
+def test_mode_layouts_recompute_equivalent():
+    """mode_layouts="recompute" (HBM policy, config.py) must be purely a
+    memory/traffic trade: identical trajectories and results to the
+    default materialized-layout policy."""
+    import dataclasses
+
+    x, kts = make_problem(29, n_models=6, ranks=(3, 5))
+    base = CalsParams(tol=1e-8, buffer_size=16, bucket_ranks=(4, 8))
+    ref, rep_ref = cp_cals(x, kts, base)
+    got, rep_got = cp_cals(
+        x, kts, dataclasses.replace(base, mode_layouts="recompute")
+    )
+    for a, b, ma, mb in zip(ref, got, rep_ref.models, rep_got.models):
+        assert ma.iters == mb.iters
+        assert ma.fit == mb.fit
+        np.testing.assert_array_equal(
+            np.asarray(to_tensor(a)), np.asarray(to_tensor(b))
+        )
