@@ -226,7 +226,8 @@ def jackknife_real_experiment(path, ranks=(4, 5, 6), tol=1e-6,
 
 
 def scale_sweep(modes=(500, 500, 500), copies=250, rank_max=20,
-                max_iter=50, dtype=jnp.float32, seed=7):
+                max_iter=50, dtype=jnp.float32, seed=7,
+                mode_layouts="materialized"):
     """BASELINE.json config 5 (single-host leg): thousands of concurrent
     CPDs on one large synthetic tensor — copies models per rank 1..rank_max
     (250 copies -> 5000 models at the baseline's 500^3 size), forced
@@ -254,11 +255,15 @@ def scale_sweep(modes=(500, 500, 500), copies=250, rank_max=20,
                           dtype=str(jnp.dtype(dtype)))
         for r in range(1, rank_max + 1) for c in range(copies)
     ]
+    from .utils import lut
+
     params = CalsParams(
         tol=1e-6, max_iterations=max_iter, force_max_iter=True,
         precision="high", bucket_ranks=(4, 8, 16, 20),
         buffer_size=40 * 96,  # bounded live columns; waves stream the rest
+        mode_layouts=mode_layouts,
     )
+    lut.reset_lookup_stats()
     t0 = time.perf_counter()
     precompile_buckets(x, queue, params)
     warm_s = time.perf_counter() - t0
@@ -271,9 +276,13 @@ def scale_sweep(modes=(500, 500, 500), copies=250, rank_max=20,
     )
     out = {
         "modes": list(modes), "n_models": len(queue),
+        "mode_layouts": mode_layouts,
         "warmup_s": round(warm_s, 3), "wall_s": round(wall, 3),
         "models_per_sec": round(len(queue) / wall, 2),
         "mttkrp_tflops": round(padded_flops / wall / 1e12, 2),
+        # Dispatch provenance (VERDICT r4 #6): with the committed 500^3
+        # grid + runtime autotune-on-miss this should read 100% exact.
+        "lut_dispatch": dict(lut.LOOKUP_STATS),
     }
     # HBM accounting (VERDICT r2 #6): the per-mode prepared twostep
     # layouts are the dominant residents at this scale — N copies of |X|
