@@ -54,6 +54,18 @@ def parse_args(argv=None):
     p.add_argument("--fast", action="store_true",
                    help="production fast tier: bf16 MTTKRP + mixed-tier "
                         "tol checks (every 5 iterations) + 2 polish sweeps")
+    p.add_argument("--evict-batch", type=int, default=1,
+                   help="defer the eviction sync until this many models "
+                        "have converged (config.evict_batch; big win when "
+                        "convergence events scatter, e.g. tol-driven runs "
+                        "on high-latency links)")
+    p.add_argument("--mode-layouts", default="materialized",
+                   choices=("materialized", "recompute"),
+                   help="HBM policy for per-mode tensor layouts "
+                        "(config.mode_layouts)")
+    p.add_argument("--polish-tol", type=float, default=0.0,
+                   help="polish converged models to convergence at full "
+                        "precision (config.polish_tol; use with --fast)")
     p.add_argument("--wire", default=None, metavar="DTYPE",
                    help="result extraction wire dtype (float16/bfloat16) — "
                         "halves device->host result bytes")
@@ -136,6 +148,9 @@ def main(argv=None):
         )
     if args.wire:
         extra["result_wire_dtype"] = args.wire
+    if args.polish_tol > 0:
+        extra["polish_tol"] = args.polish_tol
+        extra.setdefault("polish_iters", 25)
     cals_params = CalsParams(
         tol=args.tol,
         max_iterations=args.max_iterations,
@@ -143,6 +158,8 @@ def main(argv=None):
         line_search=args.line_search,
         update_method=update,
         bucket_threads=args.bucket_threads,
+        evict_batch=args.evict_batch,
+        mode_layouts=args.mode_layouts,
         **extra,
     )
     print(f"Tensor {modes}, {len(queue)} models, ranks {rmin}..{rmax}")
