@@ -116,8 +116,8 @@ class AlsParams:
     # unfused reference path.
     epilogue: str = "auto"
     # Prepared-layout HBM policy for the batched path (see
-    # CalsParams.mode_layouts): "materialized" | "recompute".
-    mode_layouts: str = "materialized"
+    # CalsParams.mode_layouts): "auto" | "materialized" | "recompute".
+    mode_layouts: str = "auto"
     # Debug oracle: warn when a model's error rises > 1e-4 between
     # iterations (reference als.cpp:233-238 warn / cals.cpp:299 assert).
     debug: bool = False
@@ -199,21 +199,28 @@ class CalsParams:
     # HBM policy for the per-mode prepared tensor layouts (VERDICT r4 #7;
     # the reference's implicit zero-copy unfolds, tensor.cpp:143-180,
     # became N materialized |X|-sized copies here):
-    #   "materialized" (default) — all mode layouts hoisted out of the
-    #     iteration loop: fastest, ~N x |X| residency. (The twostep's
-    #     tie-break already makes one cubic-tensor layout a free aliased
-    #     reshape, so cubic residency is (N-1) x |X| + X.)
+    #   "materialized" — all mode layouts hoisted out of the iteration
+    #     loop: ~N x |X| residency. (The twostep's tie-break already
+    #     makes one cubic-tensor layout a free aliased reshape, so cubic
+    #     residency is (N-1) x |X| + X.)
     #   "recompute" — layouts are re-derived INSIDE the loop each
     #     iteration (an optimization barrier pins them there, or XLA's
     #     LICM would hoist them right back): peak residency drops to
     #     ~X + one transient layout, costing ~2(N-1)|X| bytes of HBM
-    #     traffic per iteration. Measured at 500^3 in the scale sweep
-    #     (data/benchmarks/scale_sweep*.json).
+    #     traffic per iteration.
+    #   "auto" (default) — recompute for tensors over 128 MB, else
+    #     materialized. Measured at 500^3 (scale sweep, f32 = 500 MB):
+    #     recompute is BOTH ~2 GB lighter and 1.58x FASTER (79.7 vs 50.4
+    #     models/s — the hoisted transposes re-run per eviction-round
+    #     dispatch and thrash HBM at this size), while at the 15 MB EEM
+    #     shape per-iteration re-transposing would roughly double the
+    #     0.27 ms iteration. 128 MB splits the two measured points
+    #     (data/benchmarks/scale_sweep_layout_policy.json).
     # A krp_gemm-for-largest-mode "shared unfold" policy was considered
     # and rejected by measurement: krp_gemm runs 5-40x slower per mode on
     # TPU (VPU-bound KRP materialization, docs/PROFILE.md), dwarfing the
     # |X| it saves; force it per-mode via mttkrp_method if ever needed.
-    mode_layouts: str = "materialized"
+    mode_layouts: str = "auto"
     # Host-sync policy: "evict" runs a device-side while_loop that freezes
     # each model at its convergence point and returns only when something is
     # ready to evict (amortizes host round-trips, trajectories unchanged);

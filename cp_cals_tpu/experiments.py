@@ -227,7 +227,7 @@ def jackknife_real_experiment(path, ranks=(4, 5, 6), tol=1e-6,
 
 def scale_sweep(modes=(500, 500, 500), copies=250, rank_max=20,
                 max_iter=50, dtype=jnp.float32, seed=7,
-                mode_layouts="materialized"):
+                mode_layouts="auto"):
     """BASELINE.json config 5 (single-host leg): thousands of concurrent
     CPDs on one large synthetic tensor — copies models per rank 1..rank_max
     (250 copies -> 5000 models at the baseline's 500^3 size), forced

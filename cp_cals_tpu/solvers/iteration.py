@@ -177,7 +177,15 @@ def make_iteration(
             return heuristic_methods(x.shape)
         return tuple(default_method for _ in range(x.ndim))
 
-    layout_policy = getattr(params, "mode_layouts", "materialized")
+    layout_policy = getattr(params, "mode_layouts", "auto")
+
+    def resolve_layout_policy(x) -> str:
+        """"auto": recompute layouts in-loop for tensors > 128 MB (the
+        measured crossover band, config.mode_layouts), else materialize."""
+        if layout_policy != "auto":
+            return layout_policy
+        big = x.size * jnp.dtype(x.dtype).itemsize > 128 * 1024 * 1024
+        return "recompute" if big else "materialized"
 
     def prepare(x):
         """Loop-invariant tensor layouts; compute once per solve, outside
@@ -185,7 +193,7 @@ def make_iteration(
         prepared — layouts are derived inside the loop (config.py)."""
         from ..ops.mttkrp import prepare_batched
 
-        if not batched or layout_policy == "recompute":
+        if not batched or resolve_layout_policy(x) == "recompute":
             return None
         return prepare_batched(x, resolve_methods(x))
 
@@ -216,7 +224,7 @@ def make_iteration(
     ) -> SolverState:
         n_modes = x.ndim
         iters = state.iters + 1
-        if batched and layout_policy == "recompute":
+        if batched and resolve_layout_policy(x) == "recompute":
             # Tie the tensor to a loop-carried value so the per-mode
             # layout transposes CANNOT be hoisted out of the while_loop
             # (XLA's LICM would otherwise rematerialize all N layouts

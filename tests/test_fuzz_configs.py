@@ -55,7 +55,15 @@ def sample_config(rng: random.Random):
             # out of this sweep (they intentionally change the returned
             # factors beyond the 1e-11 bit-match band).
             tol_check_interval=rng.choice([0, 5]),
-            evict_batch=rng.choice([1, 4]),
+            evict_batch=rng.choice([1, 4, 16]),
+            # Round-5 knobs: the layout policy must be trajectory-
+            # invariant (it only moves WHERE transposes happen), so it
+            # belongs in the bit-match sweep. polish_tol stays out for
+            # the same reason polish_iters does (it refines returned
+            # factors past the oracle band by design).
+            mode_layouts=rng.choice(
+                ["auto", "materialized", "recompute"]
+            ),
         ),
     }
 
