@@ -205,3 +205,35 @@ def test_precompile_buckets_under_mesh():
             mask = np.isfinite(fa)
             assert (mask == np.isfinite(fb)).all()
             np.testing.assert_allclose(fa[mask], fb[mask], atol=1e-11)
+
+
+def test_sharded_layout_policies_equal():
+    """mode_layouts x sharding matrix: the recompute policy's in-loop
+    barrier-pinned layouts must be invisible under dp and tp meshes
+    (noise keeps the error floor away from machine zero, where stop
+    timing would depend on reduction order)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import dataclasses
+
+    key = jax.random.PRNGKey(0)
+    x = to_tensor(random_ktensor(key, (16, 7, 6), 3))
+    x = x + 1e-3 * jax.random.normal(
+        jax.random.PRNGKey(99), x.shape, x.dtype
+    )
+    kts = [
+        random_ktensor(jax.random.PRNGKey(10 + i), (16, 7, 6), 3)
+        for i in range(8)
+    ]
+    base = CalsParams(tol=1e-9, bucket_ranks=(4,), buffer_size=16)
+    for policy in ("materialized", "recompute"):
+        p = dataclasses.replace(base, mode_layouts=policy)
+        ref, _ = cp_cals(x, kts, p)
+        for tp in (1, 2):
+            mesh = make_mesh(n_dp=4, n_tp=tp)
+            got, _ = cp_cals(x, kts, p, mesh=mesh, shard_mode0=(tp > 1))
+            for a, b in zip(ref, got):
+                np.testing.assert_allclose(
+                    np.asarray(to_tensor(a)), np.asarray(to_tensor(b)),
+                    atol=1e-11,
+                )
