@@ -183,10 +183,12 @@ def probe_link(n=3):
 
 
 def probe_is_degraded(p):
-    """Healthy bands from the committed device profile (docs/PROFILE.md):
-    chip 148-206 TF/s bf16, link RTT 28-42 ms. Below/above generous
-    margins of those, a timed capture mostly measures contention."""
-    return p["matmul_tflops"] < 70.0 or p["rtt_ms"] > 150.0
+    """Healthy bands measured on this deployment (docs/PROFILE.md + the
+    round-5 probes: 180-217 TF/s across a full day): below ~2/3 of the
+    healthy floor, a timed capture mostly measures another tenant, and
+    the bounded wait-and-retry (≤ ~4 min total) is cheaper than
+    publishing a halved headline."""
+    return p["matmul_tflops"] < 120.0 or p["rtt_ms"] > 150.0
 
 
 def main():
