@@ -59,10 +59,11 @@ def parse_args(argv=None):
                         "have converged (config.evict_batch; big win when "
                         "convergence events scatter, e.g. tol-driven runs "
                         "on high-latency links)")
-    p.add_argument("--mode-layouts", default="materialized",
-                   choices=("materialized", "recompute"),
+    p.add_argument("--mode-layouts", default="auto",
+                   choices=("auto", "materialized", "recompute"),
                    help="HBM policy for per-mode tensor layouts "
-                        "(config.mode_layouts)")
+                        "(config.mode_layouts; auto = recompute above "
+                        "128 MB)")
     p.add_argument("--polish-tol", type=float, default=0.0,
                    help="polish converged models to convergence at full "
                         "precision (config.polish_tol; use with --fast)")
@@ -149,8 +150,11 @@ def main(argv=None):
     if args.wire:
         extra["result_wire_dtype"] = args.wire
     if args.polish_tol > 0:
+        # Must OVERRIDE --fast's polish_iters=2: with polish-to-
+        # convergence, polish_iters is the sweep CAP, and a cap of 2
+        # would silently revert to the fixed-sweep tier.
         extra["polish_tol"] = args.polish_tol
-        extra.setdefault("polish_iters", 25)
+        extra["polish_iters"] = 25
     cals_params = CalsParams(
         tol=args.tol,
         max_iterations=args.max_iterations,

@@ -284,19 +284,24 @@ def scale_sweep(modes=(500, 500, 500), copies=250, rank_max=20,
         # grid + runtime autotune-on-miss this should read 100% exact.
         "lut_dispatch": dict(lut.LOOKUP_STATS),
     }
-    # HBM accounting (VERDICT r2 #6): the per-mode prepared twostep
-    # layouts are the dominant residents at this scale — N copies of |X|
-    # (ops/mttkrp.py:prepare_batched) + X itself + the bucket states.
-    # Policy note: layouts are materialized inside each jitted program
-    # from the single donated X when XLA cannot alias them; if HBM ever
-    # binds (N*|X| ~ capacity), drop to mttkrp_method="krp_gemm" for the
-    # largest mode (shares X's unfold) or recompute layouts per mode-loop
-    # (trade ~|X| of traffic per iteration for N*|X| of residency).
+    # HBM accounting (VERDICT r2 #6 / r4 #7), policy-aware: under
+    # "materialized" the N per-mode layouts are the dominant residents
+    # (N x |X|); under "recompute" (what "auto" picks above 128 MB —
+    # including this default 500^3 f32 shape) they are derived in-loop
+    # and at most ONE transient layout is live at a time.
     itemsize = jnp.dtype(dtype).itemsize
     x_bytes = int(np.prod(modes)) * itemsize
+    resolved = mode_layouts
+    if resolved == "auto":
+        resolved = (
+            "recompute" if x_bytes > 128 * 1024 * 1024 else "materialized"
+        )
+    out["mode_layouts_resolved"] = resolved
     out["hbm_model_bytes"] = {
         "tensor": x_bytes,
-        "prepared_layouts": len(modes) * x_bytes,
+        "prepared_layouts_resident": (
+            len(modes) * x_bytes if resolved == "materialized" else x_bytes
+        ),
         "bucket_states_approx": int(
             3 * params.buffer_size * max(modes) * itemsize
         ),

@@ -271,7 +271,10 @@ def mttkrp_batched_twostep(
     if not small:  # 2-D: the TTM alone is the whole MTTKRP
         return jnp.transpose(t, (1, 0, 2)).astype(x.dtype)
     while small:
-        m = max(small, key=lambda mm: x.shape[mm])
+        # Ties toward the highest index, matching _ts_big and the
+        # single-model path's sort — batched and unbatched twosteps must
+        # share reduction order (the CALS == ALS oracle band assumes it).
+        m = max(small, key=lambda mm: (x.shape[mm], mm))
         ax = 1 + small.index(m)
         u = jnp.transpose(factors[m], (1, 0, 2))  # [I_m, B, R]
         nd = t.ndim

@@ -895,6 +895,12 @@ def precompile_buckets(
         not isinstance(kt, RandomKtensorSpec) for kt in queue
     )
     jobs = [(r, b) for wave in waves for r, b in wave.items()]
+    # Resolve (and autotune-on-miss) every bucket's MTTKRP methods BEFORE
+    # the parallel compile pool: an autotune that timed kernels while
+    # other bucket threads dispatch warm-up programs on the same device
+    # would persist contention-skewed winners to the LUT.
+    for r, b in jobs:
+        _resolve_bucket_methods(x.shape, r, b, params)
     if jax.process_count() > 1:
         # Lockstep: warmups execute device programs, and under
         # jax.distributed every process must dispatch the same programs in
@@ -1523,6 +1529,11 @@ def cp_cals(
             ((r, buckets[r], b) for r, b in wave.items()),
             key=lambda t: (-t[0] * t[2], t[0]),
         )
+        # Serial method resolution first (autotune-on-miss must time its
+        # kernels on an idle device — see precompile_buckets); threaded
+        # run_bucket calls then hit exact entries.
+        for r, _, b in items:
+            _resolve_bucket_methods(x.shape, r, b, params)
         # Tracing works threaded too: RunTrace.add is a list append (atomic
         # under the GIL) and records carry their bucket rank.
         n_threads = min(params.bucket_threads, len(items)) or 1

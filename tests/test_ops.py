@@ -264,3 +264,30 @@ def test_normalize_factor_fused_matches_unfused():
                                    rtol=1e-12, atol=1e-12)
         np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_twostep_batched_matches_single_tied_small_modes():
+    """N-D twostep with TIED small-mode sizes: the batched TTV chain and
+    the single-model path must contract in the same order (ties toward
+    the highest index), or CALS == ALS drifts above the bit-match band.
+    Modes (8, 5, 5, 4), target 3: big = 0, small = [1, 2] tied at 5."""
+    import numpy as np
+
+    from cp_cals_tpu.ops.mttkrp import mttkrp, mttkrp_batched
+
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 5)
+    modes = (8, 5, 5, 4)
+    x = jax.random.normal(ks[0], modes, jnp.float64)
+    factors_b = tuple(
+        jax.random.normal(k, (3, m, 2), jnp.float64)
+        for k, m in zip(ks[1:], modes)
+    )
+    for mode in range(4):
+        g_b = mttkrp_batched(x, factors_b, mode, "twostep")
+        for i in range(3):
+            f1 = tuple(f[i] for f in factors_b)
+            g_1 = mttkrp(x, f1, mode, "twostep")
+            np.testing.assert_array_equal(
+                np.asarray(g_b[i]), np.asarray(g_1)
+            )
