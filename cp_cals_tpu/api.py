@@ -51,6 +51,11 @@ def _make_params(
     tol_check_interval=0,
     polish_iters=0,
     result_wire_dtype=None,
+    # Round-5 extensions: polish-to-convergence (statistics-grade fast
+    # tier), deferred eviction syncs, and the HBM layout policy.
+    polish_tol=0.0,
+    evict_batch=1,
+    mode_layouts="auto",
 ) -> CalsParams:
     return CalsParams(
         tol=tol,
@@ -68,6 +73,9 @@ def _make_params(
         tol_check_interval=tol_check_interval,
         polish_iters=polish_iters,
         result_wire_dtype=result_wire_dtype,
+        polish_tol=polish_tol,
+        evict_batch=evict_batch,
+        mode_layouts=mode_layouts,
     )
 
 
