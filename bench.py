@@ -422,6 +422,34 @@ def main():
                 out["mode_split_microbench_r20_b96"] = split
         except Exception:
             pass
+    # Echo the committed secondary-protocol artifacts (measured on this
+    # hardware by their own scripts; see data/benchmarks/) so the single
+    # bench JSON carries the full protocol picture: the reference's
+    # tol-driven leg and the jackknife flagship.
+    try:
+        bdir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "data", "benchmarks"
+        )
+        with open(os.path.join(bdir, "bench_tol_measured.json")) as f:
+            tol = json.load(f)
+        with open(os.path.join(bdir, "bench_jk_measured.json")) as f:
+            jk = json.load(f)
+        out["secondary_committed"] = {
+            "tol_leg": {
+                k: tol.get(k)
+                for k in (
+                    "models_per_sec", "mean_iters_ratio_vs_f64",
+                    "median_abs_fit_delta_vs_f64", "mttkrp_precision",
+                    "evict_batch",
+                )
+            },
+            "jackknife": {
+                k: jk.get(k)
+                for k in ("jk_replicates_per_sec", "jk_tier")
+            },
+        }
+    except Exception:
+        pass
     if os.environ.get("BENCH_VERBOSE"):
         out["phase_times"] = {
             str(r): {k: round(v, 3) for k, v in pt.items()}
