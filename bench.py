@@ -256,6 +256,14 @@ def main():
         # Default ON since the back-to-back A/B measured 1.40x end-to-end
         # (data/benchmarks/wire_ab.json); BENCH_WIRE="" disables.
         result_wire_dtype=os.environ.get("BENCH_WIRE", "float16") or None,
+        # Dimension-tree sweep (config.dimtree): modes 1/2 share one
+        # X x_0 A TTM — 2 big TTMs per iteration instead of 3. "auto"
+        # keeps it off at this leg's bf16 tier (measured 1.09x there)
+        # and on for the high/highest-tier legs (0.76-0.82x).
+        dimtree={"0": "off", "1": "on"}.get(
+            os.environ.get("BENCH_DIMTREE", "auto"),
+            os.environ.get("BENCH_DIMTREE", "auto"),
+        ),
         sync_mode="evict",
     )
 
@@ -484,6 +492,12 @@ def main():
             # not compute-bound, so the padding doesn't pay here.
             bucket_ranks=(int(os.environ.get("BENCH_JK_BUCKET", "8")),),
             precision="high", sync_mode="evict",
+            # Statistics tier matches the committed fidelity artifact
+            # (jk_fp32_vs_fp64.json tier f32_high, dimtree OFF, p99 <=
+            # 1.43). BENCH_JK_DIMTREE=auto runs the measured faster
+            # variant (829 vs 717 reps/s at p99 2.17, tier
+            # f32_high_dimtree).
+            dimtree=os.environ.get("BENCH_JK_DIMTREE", "off"),
             mttkrp_precision=jk_tier_env or None,
             # Mixed-tier checks + polish belong to the fast tier only:
             # with BENCH_JK_TIER="" (the full-tier A/B baseline) they must

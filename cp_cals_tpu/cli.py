@@ -64,6 +64,11 @@ def parse_args(argv=None):
                    help="HBM policy for per-mode tensor layouts "
                         "(config.mode_layouts; auto = recompute above "
                         "128 MB)")
+    p.add_argument("--dimtree", default="auto",
+                   choices=("auto", "on", "off"),
+                   help="dimension-tree sweep: modes 1/2 share one "
+                        "X x_0 A contraction (config.dimtree; auto = on "
+                        "for non-bf16 MTTKRP tiers, 3-D only)")
     p.add_argument("--polish-tol", type=float, default=0.0,
                    help="polish converged models to convergence at full "
                         "precision (config.polish_tol; use with --fast)")
@@ -164,6 +169,7 @@ def main(argv=None):
         bucket_threads=args.bucket_threads,
         evict_batch=args.evict_batch,
         mode_layouts=args.mode_layouts,
+        dimtree=args.dimtree,
         **extra,
     )
     print(f"Tensor {modes}, {len(queue)} models, ranks {rmin}..{rmax}")

@@ -118,6 +118,8 @@ class AlsParams:
     # Prepared-layout HBM policy for the batched path (see
     # CalsParams.mode_layouts): "auto" | "materialized" | "recompute".
     mode_layouts: str = "auto"
+    # Dimension-tree sweep (see CalsParams.dimtree).
+    dimtree: str = "auto"
     # Debug oracle: warn when a model's error rises > 1e-4 between
     # iterations (reference als.cpp:233-238 warn / cals.cpp:299 assert).
     debug: bool = False
@@ -261,6 +263,22 @@ class CalsParams:
     # in data/benchmarks/wire_ab.json). Results are cast back to the
     # queue dtype on the host.
     result_wire_dtype: Optional[str] = None
+    # Dimension-tree sweep (3-D tensors): modes 1 and 2 derive their
+    # MTTKRPs from ONE shared X x_0 A contraction computed after the
+    # mode-0 update (PLANC's dimension-tree technique, the reference's
+    # bench_mttkrp_planc.h comparison target) — 2 big TTMs per sweep
+    # instead of 3, ~33% less MTTKRP compute. Gauss-Seidel-exact (A is
+    # final before modes 1/2 read it; C is not re-read after its
+    # update); reduction order differs from the per-mode twostep, so
+    # results match it to fp-roundoff, not bitwise. "auto" (default)
+    # enables it for 3-D sweeps whose MTTKRP tier is NOT the 1-pass-bf16
+    # "default": interleaved A/B at B=96/R=20 on the EEM shape measured
+    # 0.755x ("highest"), 0.816x ("high"), but 1.094x at "default" —
+    # the bf16 tier is HBM-bound and the shared T must stay f32 (a bf16
+    # T double-rounds both modes; measured 3.2e-3 mean-fit loss), so
+    # its doubled traffic outweighs the FLOP savings there. "on"/"off"
+    # force it; non-3-D tensors always use per-mode dispatch.
+    dimtree: str = "auto"
     # Debug oracle: warn when a model's error rises > 1e-4 between
     # iterations (reference als.cpp:233-238 warn / cals.cpp:299 assert).
     debug: bool = False

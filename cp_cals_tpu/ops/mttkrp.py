@@ -343,3 +343,66 @@ def als_iteration_flops(modes: Sequence[int], rank: int, batch: int = 1) -> int:
         # gramian + cholesky + trsm per mode (small): I*R^2 + R^3/3 + 2*I*R^2
         total += batch * (3 * modes[n] * rank * rank + rank**3 // 3)
     return total
+
+
+# ---------------------------------------------------------------------------
+# Dimension-tree sweep (3-D): modes 1 and 2 share one TTM
+# ---------------------------------------------------------------------------
+
+
+def dimtree_layout(x: Array) -> Array:
+    """Prepared tensor for the shared first-mode contraction:
+    [I1 * I2, I0]."""
+    return jnp.transpose(x, (1, 2, 0)).reshape(-1, x.shape[0])
+
+
+def dimtree_ttm(
+    x: Array,
+    f0: Array,  # [B, I0, R] — the JUST-UPDATED mode-0 factor
+    precision=jax.lax.Precision.HIGHEST,
+    prepared: Array | None = None,
+) -> Array:
+    """T = X x_0 A as one packed MXU matmul: [I1, I2, B, R].
+
+    The PLANC-style dimension-tree partial product
+    (/root/reference/include/experiments/bench_mttkrp_planc.h cites the
+    dimension-tree contender; here the tree is depth-1 for 3-D): both
+    remaining modes' MTTKRPs derive from this single TTM, replacing two
+    independent big TTMs with one — per iteration the sweep runs 2 TTMs
+    (mode 0's own + this) instead of 3, a ~33% cut in MTTKRP FLOPs and
+    intermediate HBM traffic. Gauss-Seidel-valid: A is final before
+    modes 1/2 consume it, and C is not re-read after its update.
+    """
+    b, i0, r = f0.shape
+    xd = prepared if prepared is not None else dimtree_layout(x)
+    u0 = jnp.transpose(f0, (1, 0, 2)).reshape(i0, b * r)
+    # T stays in the tensor dtype (f32) even at the bf16 tier, unlike the
+    # per-mode twostep's compact intermediate: T feeds BOTH remaining
+    # modes, and a bf16-stored T adds an extra rounding stage to each —
+    # measured on the EEM bench, the bf16 T cost 3.2e-3 of mean fit at
+    # 50 iterations (vs ~1e-4-class tier noise), while f32 storage keeps
+    # dimtree at per-mode-twostep fidelity for half the TTM FLOPs.
+    t = jnp.matmul(xd, u0, precision=precision)  # [I1*I2, B*R]
+    return t.reshape(x.shape[1], x.shape[2], b, r)
+
+
+def dimtree_ttv(
+    t: Array,  # [I1, I2, B, R] shared TTM
+    factors: Sequence[Array],
+    mode: int,  # 1 or 2 — the target mode
+    precision=jax.lax.Precision.HIGHEST,
+) -> Array:
+    """G[mode] from the shared TTM: contract the OTHER remaining mode's
+    factor elementwise in (B, R). Accumulates in the factor dtype."""
+    other = 2 if mode == 1 else 1
+    u = jnp.transpose(factors[other], (1, 0, 2))  # [I_other, B, R]
+    out_dtype = factors[other].dtype
+    if mode == 1:
+        return jnp.einsum(
+            "jkbr,kbr->bjr", t, u, precision=precision,
+            preferred_element_type=out_dtype,
+        )
+    return jnp.einsum(
+        "jkbr,jbr->bkr", t, u, precision=precision,
+        preferred_element_type=out_dtype,
+    )

@@ -178,6 +178,18 @@ def make_iteration(
         return tuple(default_method for _ in range(x.ndim))
 
     layout_policy = getattr(params, "mode_layouts", "auto")
+    # Dimension-tree sweep (config.dimtree, 3-D only): modes 1/2 derive
+    # from one shared X x_0 A TTM computed after the mode-0 update.
+    # "auto": on for non-bf16 MTTKRP tiers (measured 0.76-0.82x per
+    # iteration), off at the 1-pass-bf16 tier (the f32-stored shared T
+    # doubles traffic there, 1.09x — config.py).
+    dimtree_cfg = getattr(params, "dimtree", "auto")
+    if dimtree_cfg in (True, "on"):
+        dimtree = True
+    elif dimtree_cfg in (False, "off"):
+        dimtree = False
+    else:
+        dimtree = mttkrp_prec != jax.lax.Precision.DEFAULT
 
     def resolve_layout_policy(x) -> str:
         """"auto": recompute layouts in-loop for tensors > 128 MB (the
@@ -191,11 +203,16 @@ def make_iteration(
         """Loop-invariant tensor layouts; compute once per solve, outside
         the iteration loop. Under mode_layouts="recompute" nothing is
         prepared — layouts are derived inside the loop (config.py)."""
-        from ..ops.mttkrp import prepare_batched
+        from ..ops.mttkrp import dimtree_layout, prepare_batched
 
         if not batched or resolve_layout_policy(x) == "recompute":
             return None
-        return prepare_batched(x, resolve_methods(x))
+        per_mode = prepare_batched(x, resolve_methods(x))
+        if dimtree and x.ndim == 3:
+            # One extra slot past the per-mode layouts: the shared-TTM
+            # layout [I1*I2, I0] (indexed as prepared[n_modes]).
+            return per_mode + (dimtree_layout(x),)
+        return per_mode
 
     def do_mttkrp(x, factors, n, prepared):
         method = resolve_methods(x)[n]
@@ -243,8 +260,28 @@ def make_iteration(
         # ------------------------------------------------------ mode sweep
         g_last = None
         t3_last = None
+        dt_shared = None
+        use_dimtree = dimtree and n_modes == 3
         for n in range(n_modes):
-            g = do_mttkrp(x, kt.factors, n, prepared)
+            if use_dimtree and n >= 1:
+                from ..ops.mttkrp import dimtree_ttm, dimtree_ttv
+
+                if dt_shared is None:
+                    f0 = kt.factors[0]  # post-update (and post-JK-zero)
+                    dt_shared = dimtree_ttm(
+                        x,
+                        f0 if batched else f0[None],
+                        mttkrp_prec,
+                        prepared[n_modes] if prepared is not None else None,
+                    )
+                fs = kt.factors if batched else tuple(
+                    f[None] for f in kt.factors
+                )
+                g = dimtree_ttv(dt_shared, fs, n, mttkrp_prec)
+                if not batched:
+                    g = g[0]
+            else:
+                g = do_mttkrp(x, kt.factors, n, prepared)
             if n == n_modes - 1:
                 g_last = g  # saved for the fast-error formula (als.cpp:174-179)
             use_fused = want_fused and supports_fused_epilogue(

@@ -95,17 +95,23 @@ def run(dtype, tag, tier="default", polish=None):
         # under a PLAIN tol stop dominates the JK scatter (3-27x) — the
         # mixed-tier check exists to fix exactly that (round 4).
         mttkrp_precision=(
-            None if (is_f64 or tier == "high") else "default"
+            None if (is_f64 or tier in ("high", "high_dimtree"))
+            else "default"
         ),
         tol_check_interval=(
             5 if tier in ("default_check", "default_polish_conv") else 0
         ),
         polish_iters=(
             (25 if tier == "default_polish_conv" else
-             0 if (is_f64 or tier == "high") else 2)
+             0 if (is_f64 or tier in ("high", "high_dimtree")) else 2)
             if polish is None else polish
         ),
         polish_tol=1e-6 if tier == "default_polish_conv" else 0.0,
+        # The statistics-grade flagship runs dimtree OFF: the shared-TTM
+        # reduction order nudges mode-2 SE fidelity from p99 1.43 to 2.17
+        # (tier high_dimtree) — measured, kept as the documented faster
+        # option (829 vs 717 reps/s) rather than the default.
+        dimtree="auto" if tier == "high_dimtree" else "off",
         sync_mode="evict",
     )
     import time
@@ -137,7 +143,8 @@ def compare():
     a = np.load(os.path.join(WORK, "jk_fidelity_f64.npz"))
     out = {"modes": list(MODES), "rank": RANK, "tiers": {}}
     for tag in (
-        "f32", "f32_high", "f32_default_check", "f32_default_polish_conv"
+        "f32", "f32_high", "f32_high_dimtree", "f32_default_check",
+        "f32_default_polish_conv",
     ):
         path32 = os.path.join(WORK, f"jk_fidelity_{tag}.npz")
         if not os.path.exists(path32):

@@ -656,3 +656,42 @@ def test_mode_layouts_recompute_equivalent():
         np.testing.assert_array_equal(
             np.asarray(to_tensor(a)), np.asarray(to_tensor(b))
         )
+
+
+def test_dimtree_sweep_equivalence():
+    """Dimension-tree sweep (config.dimtree): CALS(dimtree) must equal
+    ALS(dimtree) at the bit-match band (both paths share the sweep), and
+    dimtree vs per-mode must agree at fp64 trajectory tolerance (the
+    shared-TTM reduction order differs only by roundoff)."""
+    import dataclasses
+
+    x, kts = make_problem(37, n_models=6, ranks=(2, 3, 4))
+    p = CalsParams(
+        tol=1e-9, buffer_size=12, bucket_ranks=(2, 4), dimtree="on"
+    )
+    res, rep = cp_cals(x, kts, p)
+    for kt0, kc, m in zip(kts, res, rep.models):
+        ka, ra = cp_als(x, kt0, AlsParams(tol=1e-9, dimtree="on"))
+        assert ra.iters == m.iters
+        np.testing.assert_allclose(
+            to_tensor(kc), to_tensor(ka), atol=TOL
+        )
+    res2, rep2 = cp_cals(x, kts, dataclasses.replace(p, dimtree="off"))
+    for a, b in zip(rep.models, rep2.models):
+        assert abs(a.fit - b.fit) < 1e-8
+    # Composition: jackknife + mixed-tier checks keep working with the
+    # dimtree sweep (the hi-check MTTKRP stays per-mode).
+    from cp_cals_tpu.solvers import jk_cp_als, jk_cp_cals
+
+    kt_fit, _ = cp_als(x, kts[0], AlsParams(tol=1e-9, dimtree="on"))
+    a = jk_cp_cals(x, [kt_fit], dataclasses.replace(
+        p, max_iterations=8, force_max_iter=True, bucket_ranks=(2,)
+    ))
+    b = jk_cp_als(x, [kt_fit], AlsParams(
+        max_iterations=8, force_max_iter=True, dimtree="on"
+    ))
+    for ka, kb in zip(a.results[0], b.results[0]):
+        for fa, fb in zip(ka.factors, kb.factors):
+            fa, fb = np.asarray(fa), np.asarray(fb)
+            mask = np.isfinite(fa)
+            np.testing.assert_allclose(fa[mask], fb[mask], atol=1e-9)

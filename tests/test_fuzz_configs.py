@@ -64,6 +64,10 @@ def sample_config(rng: random.Random):
             mode_layouts=rng.choice(
                 ["auto", "materialized", "recompute"]
             ),
+            # Dimension-tree sweep: trajectory-defining (different
+            # reduction order than per-mode), so CALS and the ALS oracle
+            # must sample the SAME choice (both paths implement it).
+            dimtree=rng.choice(["auto", "on", "off"]),
         ),
     }
 
@@ -128,6 +132,7 @@ def test_random_config_cals_equals_als(seed):
         force_max_iter=p.force_max_iter,
         solve_method=p.solve_method,
         tol_check_interval=p.tol_check_interval,
+        dimtree=p.dimtree,
     )
     for kt0, kt_cals, mrep in zip(kts, results, rep.models):
         kt_als, rep_als = cp_als(x, kt0, ap)
