@@ -542,8 +542,10 @@ def main():
         out["jk_wall_s"] = round(jk_s, 3)
         # SE-fidelity tier actually run (VERDICT r4 #4): maps to the tier
         # tags of data/benchmarks/jk_fp32_vs_fp64.json.
+        jk_dimtree_on = jk_params.dimtree in ("on", "auto")
         out["jk_tier"] = (
-            "high" if not jk_tier_env
+            ("high_dimtree" if jk_dimtree_on else "high")
+            if not jk_tier_env
             else "default_polish_conv" if jk_params.polish_tol > 0
             else "default_check"
         )

@@ -56,6 +56,7 @@ def _make_params(
     polish_tol=0.0,
     evict_batch=1,
     mode_layouts="auto",
+    dimtree="auto",
 ) -> CalsParams:
     return CalsParams(
         tol=tol,
@@ -76,6 +77,7 @@ def _make_params(
         polish_tol=polish_tol,
         evict_batch=evict_batch,
         mode_layouts=mode_layouts,
+        dimtree=dimtree,
     )
 
 

@@ -188,8 +188,12 @@ def make_iteration(
         dimtree = True
     elif dimtree_cfg in (False, "off"):
         dimtree = False
-    else:
+    elif dimtree_cfg == "auto":
         dimtree = mttkrp_prec != jax.lax.Precision.DEFAULT
+    else:
+        raise ValueError(
+            f"dimtree={dimtree_cfg!r}: expected 'auto', 'on', or 'off'"
+        )
 
     def resolve_layout_policy(x) -> str:
         """"auto": recompute layouts in-loop for tensors > 128 MB (the

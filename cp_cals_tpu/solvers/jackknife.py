@@ -132,9 +132,17 @@ def jk_cp_cals(
     mesh/shard_mode0: shard the replicate batch (dp) and optionally tensor
     mode 0 (tp) over a device mesh — jackknife is pure data parallelism
     over replicates, the scaling axis of SURVEY §5.8."""
+    import dataclasses
     import time
 
     t0 = time.perf_counter()
+    # Statistics-fidelity policy (docs/PROFILE.md JK precision policy):
+    # the dimension-tree sweep's reduction order nudges jackknife SE
+    # fidelity past the advertised bar (mode-2 p99 1.43 -> 2.17 at the
+    # "high" tier, jk_fp32_vs_fp64.json tier f32_high_dimtree), so JK
+    # runs resolve dimtree="auto" to OFF; an explicit "on" is honored.
+    if getattr(params, "dimtree", "auto") == "auto":
+        params = dataclasses.replace(params, dimtree="off")
     # Renormalize, then pull to host once: each replicate references the
     # same host arrays, so bucket packing is a pure host copy.
     fitted = [to_host_model(kt) for kt in fitted]
@@ -222,6 +230,9 @@ def jk_cp_batched_als(
             for f in _dc.fields(params)
             if any(g.name == f.name for g in _dc.fields(CalsParams))
         }
+        # Same JK fidelity policy as jk_cp_cals: dimtree "auto" -> off.
+        if shared.get("dimtree", "auto") == "auto":
+            shared["dimtree"] = "off"
         p = CalsParams(**shared, bucket_ranks=(kt_host.rank,))
         t1 = time.perf_counter()
         report.pre_time += t1 - t0
