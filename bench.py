@@ -297,7 +297,7 @@ def main():
         probes.append(probe_link(3))
 
     min_reps = 2 if SMOKE else int(os.environ.get("BENCH_REPS", "8"))
-    max_reps = 3 if SMOKE else int(os.environ.get("BENCH_MAX_REPS", "20"))
+    max_reps = 3 if SMOKE else int(os.environ.get("BENCH_MAX_REPS", "24"))
     rep_walls: list = []
     wall_s = float("inf")
     mat_s = 0.0
@@ -313,8 +313,11 @@ def main():
             continue
         spread = max(rep_walls) / wall_s
         # Stop once the spread is tight, or once the best has stopped
-        # improving for 4 consecutive reps (a stable floor under drift).
-        if spread <= 1.3 or (len(rep_walls) - best_idx) > 4:
+        # improving for several consecutive reps — more patience the
+        # wider the spread (a high-variance window often recovers a few
+        # reps later; each rep costs well under a second).
+        stale_limit = 4 if spread <= 1.8 else 8
+        if spread <= 1.3 or (len(rep_walls) - best_idx) > stale_limit:
             break
     # A capture whose floor is still far off the committed best while the
     # chip probes degraded gets ONE more wait + re-measure cycle.
