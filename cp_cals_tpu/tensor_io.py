@@ -44,10 +44,19 @@ def _lib():
 
 
 def read_tensor(path: str) -> np.ndarray:
-    """Read a text tensor file; returns a row-major ndarray of the stated
-    shape (data on disk is column-major, first mode fastest)."""
+    """Read a tensor file; returns a row-major ndarray of the stated
+    shape. The reference text format (first line = mode sizes, one value
+    per line, column-major — tensor.cpp:35-65) is the default; ``.npy``
+    / ``.npz`` files load directly (the npz must hold a single array or
+    one named 'x')."""
     if not os.path.exists(path):
         raise FileNotFoundError(path)
+    if path.endswith(".npy"):
+        return np.asarray(np.load(path), dtype=np.float64)
+    if path.endswith(".npz"):
+        z = np.load(path)
+        key = "x" if "x" in z.files else z.files[0]
+        return np.asarray(z[key], dtype=np.float64)
     lib = _lib()
     if lib is not None:
         modes = np.zeros(16, dtype=np.int64)

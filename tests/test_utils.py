@@ -158,3 +158,19 @@ def test_api_cp_cals_hybrid():
         assert len(reps) == x.shape[0]
         f0 = np.asarray(reps[0].factors[0])
         assert np.isnan(f0).any()  # left-out fiber row is NaN after rescale
+
+
+def test_read_tensor_npy_npz(tmp_path):
+    """read_tensor loads .npy/.npz directly alongside the reference text
+    format (real-data workflows ship numpy archives, not per-line text)."""
+    import numpy as np
+
+    from cp_cals_tpu.tensor_io import read_tensor
+
+    x = np.random.default_rng(3).standard_normal((5, 4, 3))
+    p1 = tmp_path / "t.npy"
+    np.save(p1, x)
+    np.testing.assert_array_equal(read_tensor(str(p1)), x)
+    p2 = tmp_path / "t.npz"
+    np.savez(p2, x=x)
+    np.testing.assert_array_equal(read_tensor(str(p2)), x)
