@@ -188,7 +188,15 @@ def probe_is_degraded(p):
     healthy floor, a timed capture mostly measures another tenant, and
     the bounded wait-and-retry (≤ ~4 min total) is cheaper than
     publishing a halved headline."""
-    return p["matmul_tflops"] < 120.0 or p["rtt_ms"] > 150.0
+    return (
+        p["matmul_tflops"] < 120.0
+        or p["rtt_ms"] > 150.0
+        # The result link is the end-to-end binder; captures at < half
+        # the healthy ~21 MB/s/stream floor measure the tunnel, not the
+        # engine (observed: d2h 6.8 MB/s collapsed a tol capture 3x
+        # while the chip probe read full speed).
+        or p["d2h_mbps"] < 10.0
+    )
 
 
 def main():
@@ -260,6 +268,7 @@ def main():
         # X x_0 A TTM — 2 big TTMs per iteration instead of 3. "auto"
         # keeps it off at this leg's bf16 tier (measured 1.09x there)
         # and on for the high/highest-tier legs (0.76-0.82x).
+        epilogue=os.environ.get("BENCH_EPILOGUE", "auto"),
         dimtree={"0": "off", "1": "on"}.get(
             os.environ.get("BENCH_DIMTREE", "auto"),
             os.environ.get("BENCH_DIMTREE", "auto"),

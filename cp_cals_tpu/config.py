@@ -111,9 +111,10 @@ class AlsParams:
     # Gauss-Jordan Pallas kernel; TPU-only).
     solve_method: str = "gj"
     # Per-mode epilogue (solve + normalize + gramian + error terms):
-    # "auto" = fused Pallas kernels on TPU, XLA elsewhere; "fused" forces
-    # the kernels (interpret mode off-TPU, for tests); "xla" forces the
-    # unfused reference path.
+    # "auto"/"xla" = the unfused XLA path (round-5 A/B: the fused Pallas
+    # kernels cost 0.65 vs 0.55 ms/iteration once the MTTKRP runs at the
+    # fast tiers — 1505 vs 925 models/s end-to-end); "fused" forces the
+    # validated Pallas kernels (interpret mode off-TPU, for tests).
     epilogue: str = "auto"
     # Prepared-layout HBM policy for the batched path (see
     # CalsParams.mode_layouts): "auto" | "materialized" | "recompute".

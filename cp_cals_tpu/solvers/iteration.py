@@ -152,20 +152,17 @@ def make_iteration(
     nnls = params.update_method == UpdateMethod.NNLS
     default_method = params.mttkrp_method.value
     # Fused Pallas epilogue (solve + normalize + gramian + error columns in
-    # VMEM, ops/pallas_epilogue.py): "auto" uses it on TPU for batched
-    # unconstrained updates; "fused" forces it (interpret mode off-TPU, the
-    # test configuration); "xla" keeps the unfused oracle path.
+    # VMEM, ops/pallas_epilogue.py): "fused" forces it (interpret mode
+    # off-TPU, the test configuration); "auto" and "xla" use the unfused
+    # XLA path. Round-5 re-measurement flipped auto's choice: with the
+    # MTTKRP at the fast tiers the epilogue is no longer hidden, and the
+    # kernel costs 0.65 vs 0.55 ms/iteration (back-to-back bench A/B:
+    # 925-987 vs 1505-1516 models/s) — the round-2 "tie" was measured
+    # when 3x-slower MTTKRPs dominated the iteration. The kernels remain
+    # validated and selectable.
     epilogue = getattr(params, "epilogue", "auto")
     on_tpu = jax.default_backend() == "tpu"
-    # The fused epilogue's inverse is a Gauss-Jordan kernel: under "auto" an
-    # explicitly requested solve_method ("chol"/"pallas") keeps the unfused
-    # path so the request is honored; "fused" forces the kernel regardless.
-    want_fused = (
-        batched
-        and not nnls
-        and epilogue != "xla"
-        and (epilogue == "fused" or (on_tpu and params.solve_method == "gj"))
-    )
+    want_fused = batched and not nnls and epilogue == "fused"
     fused_interpret = not on_tpu
 
     def resolve_methods(x) -> tuple[str, ...]:
