@@ -141,8 +141,16 @@ def jk_cp_cals(
     # fidelity past the advertised bar (mode-2 p99 1.43 -> 2.17 at the
     # "high" tier, jk_fp32_vs_fp64.json tier f32_high_dimtree), so JK
     # runs resolve dimtree="auto" to OFF; an explicit "on" is honored.
+    # Likewise epilogue "auto" resolves to the FUSED Pallas kernels here:
+    # their manual bf16_3x solve (hi/lo split, f32 accumulation between
+    # passes) is ~3x more accurate than the XLA high-precision path, and
+    # at the "high" statistics tier that accuracy is what keeps SE bands
+    # oracle-grade (measured: XLA epilogue inflates p99 to
+    # 1.76/4.18/15.19; fused reads 0.23/0.42/1.43).
     if getattr(params, "dimtree", "auto") == "auto":
         params = dataclasses.replace(params, dimtree="off")
+    if getattr(params, "epilogue", "auto") == "auto":
+        params = dataclasses.replace(params, epilogue="fused")
     # Renormalize, then pull to host once: each replicate references the
     # same host arrays, so bucket packing is a pure host copy.
     fitted = [to_host_model(kt) for kt in fitted]
@@ -230,9 +238,12 @@ def jk_cp_batched_als(
             for f in _dc.fields(params)
             if any(g.name == f.name for g in _dc.fields(CalsParams))
         }
-        # Same JK fidelity policy as jk_cp_cals: dimtree "auto" -> off.
+        # Same JK fidelity policy as jk_cp_cals: dimtree "auto" -> off,
+        # epilogue "auto" -> fused.
         if shared.get("dimtree", "auto") == "auto":
             shared["dimtree"] = "off"
+        if shared.get("epilogue", "auto") == "auto":
+            shared["epilogue"] = "fused"
         p = CalsParams(**shared, bucket_ranks=(kt_host.rank,))
         t1 = time.perf_counter()
         report.pre_time += t1 - t0
