@@ -506,10 +506,15 @@ def main():
             precision="high", sync_mode="evict",
             # Statistics tier matches the committed fidelity artifact
             # (jk_fp32_vs_fp64.json tier f32_high, dimtree OFF, p99 <=
-            # 1.43). BENCH_JK_DIMTREE=auto runs the measured faster
-            # variant (829 vs 717 reps/s at p99 2.17, tier
-            # f32_high_dimtree).
-            dimtree=os.environ.get("BENCH_JK_DIMTREE", "off"),
+            # 1.43). BENCH_JK_DIMTREE=on runs the measured faster
+            # variant (tier f32_high_dimtree, p99 2.17). "auto" would be
+            # resolved to OFF by the driver's fidelity pin, so map it to
+            # the explicit "on" the env var intends.
+            dimtree=(
+                "on"
+                if os.environ.get("BENCH_JK_DIMTREE", "off") in ("auto", "on", "1")
+                else "off"
+            ),
             mttkrp_precision=jk_tier_env or None,
             # Mixed-tier checks + polish belong to the fast tier only:
             # with BENCH_JK_TIER="" (the full-tier A/B baseline) they must

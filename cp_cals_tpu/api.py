@@ -57,6 +57,8 @@ def _make_params(
     evict_batch=1,
     mode_layouts="auto",
     dimtree="auto",
+    epilogue="auto",
+    solve_method="gj",
 ) -> CalsParams:
     return CalsParams(
         tol=tol,
@@ -78,6 +80,8 @@ def _make_params(
         evict_batch=evict_batch,
         mode_layouts=mode_layouts,
         dimtree=dimtree,
+        epilogue=epilogue,
+        solve_method=solve_method,
     )
 
 

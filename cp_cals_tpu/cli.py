@@ -64,6 +64,11 @@ def parse_args(argv=None):
                    help="HBM policy for per-mode tensor layouts "
                         "(config.mode_layouts; auto = recompute above "
                         "128 MB)")
+    p.add_argument("--epilogue", default="auto",
+                   choices=("auto", "fused", "xla"),
+                   help="per-mode epilogue (config.epilogue; jackknife "
+                        "drivers resolve auto to the accuracy-critical "
+                        "fused kernels)")
     p.add_argument("--dimtree", default="auto",
                    choices=("auto", "on", "off"),
                    help="dimension-tree sweep: modes 1/2 share one "
@@ -170,6 +175,7 @@ def main(argv=None):
         evict_batch=args.evict_batch,
         mode_layouts=args.mode_layouts,
         dimtree=args.dimtree,
+        epilogue=args.epilogue,
         **extra,
     )
     print(f"Tensor {modes}, {len(queue)} models, ranks {rmin}..{rmax}")

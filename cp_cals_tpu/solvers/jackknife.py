@@ -112,6 +112,40 @@ def _rescale_replicate(kt: Ktensor, fiber: int) -> Ktensor:
     return Ktensor(tuple(factors), new_lam)
 
 
+
+
+def _pin_jk_fidelity(params: CalsParams) -> CalsParams:
+    """Resolve the statistics-fidelity defaults for jackknife runs
+    (docs/PROFILE.md JK precision policy); explicit settings are honored.
+
+    - dimtree "auto" -> "off": the shared-TTM reduction order nudges SE
+      fidelity past the advertised bar (mode-2 p99 1.43 -> 2.17,
+      jk_fp32_vs_fp64.json tier f32_high_dimtree).
+    - epilogue "auto" -> "fused", on TPU with the default GJ solve only:
+      the fused kernels' manual bf16_3x solve (hi/lo split, f32
+      accumulation between passes) is ~3x more accurate than the XLA
+      high-precision path, and at the "high" statistics tier that is
+      what keeps SE bands oracle-grade (measured: the XLA epilogue
+      inflates p99 to 1.76/4.18/15.19 vs 0.23/0.42/1.43 — committed as
+      tier f32_high_xla). Off-TPU the kernels would run in interpret
+      mode (the test configuration), and a non-GJ solve_method must not
+      be silently replaced by the kernel's Gauss-Jordan inverse.
+    """
+    import dataclasses
+
+    import jax as _jax
+
+    if getattr(params, "dimtree", "auto") == "auto":
+        params = dataclasses.replace(params, dimtree="off")
+    if (
+        getattr(params, "epilogue", "auto") == "auto"
+        and params.solve_method == "gj"
+        and _jax.default_backend() == "tpu"
+    ):
+        params = dataclasses.replace(params, epilogue="fused")
+    return params
+
+
 def jk_cp_cals(
     x: Array,
     fitted: list[Ktensor],
@@ -136,21 +170,7 @@ def jk_cp_cals(
     import time
 
     t0 = time.perf_counter()
-    # Statistics-fidelity policy (docs/PROFILE.md JK precision policy):
-    # the dimension-tree sweep's reduction order nudges jackknife SE
-    # fidelity past the advertised bar (mode-2 p99 1.43 -> 2.17 at the
-    # "high" tier, jk_fp32_vs_fp64.json tier f32_high_dimtree), so JK
-    # runs resolve dimtree="auto" to OFF; an explicit "on" is honored.
-    # Likewise epilogue "auto" resolves to the FUSED Pallas kernels here:
-    # their manual bf16_3x solve (hi/lo split, f32 accumulation between
-    # passes) is ~3x more accurate than the XLA high-precision path, and
-    # at the "high" statistics tier that accuracy is what keeps SE bands
-    # oracle-grade (measured: XLA epilogue inflates p99 to
-    # 1.76/4.18/15.19; fused reads 0.23/0.42/1.43).
-    if getattr(params, "dimtree", "auto") == "auto":
-        params = dataclasses.replace(params, dimtree="off")
-    if getattr(params, "epilogue", "auto") == "auto":
-        params = dataclasses.replace(params, epilogue="fused")
+    params = _pin_jk_fidelity(params)
     # Renormalize, then pull to host once: each replicate references the
     # same host arrays, so bucket packing is a pure host copy.
     fitted = [to_host_model(kt) for kt in fitted]
@@ -238,13 +258,9 @@ def jk_cp_batched_als(
             for f in _dc.fields(params)
             if any(g.name == f.name for g in _dc.fields(CalsParams))
         }
-        # Same JK fidelity policy as jk_cp_cals: dimtree "auto" -> off,
-        # epilogue "auto" -> fused.
-        if shared.get("dimtree", "auto") == "auto":
-            shared["dimtree"] = "off"
-        if shared.get("epilogue", "auto") == "auto":
-            shared["epilogue"] = "fused"
-        p = CalsParams(**shared, bucket_ranks=(kt_host.rank,))
+        p = _pin_jk_fidelity(
+            CalsParams(**shared, bucket_ranks=(kt_host.rank,))
+        )
         t1 = time.perf_counter()
         report.pre_time += t1 - t0
         results, _ = _cals(x, queue, p, jk_fibers=fibers)

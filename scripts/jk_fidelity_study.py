@@ -95,7 +95,8 @@ def run(dtype, tag, tier="default", polish=None):
         # under a PLAIN tol stop dominates the JK scatter (3-27x) — the
         # mixed-tier check exists to fix exactly that (round 4).
         mttkrp_precision=(
-            None if (is_f64 or tier in ("high", "high_dimtree"))
+            None
+            if (is_f64 or tier in ("high", "high_dimtree", "high_xla"))
             else "default"
         ),
         tol_check_interval=(
@@ -103,7 +104,8 @@ def run(dtype, tag, tier="default", polish=None):
         ),
         polish_iters=(
             (25 if tier == "default_polish_conv" else
-             0 if (is_f64 or tier in ("high", "high_dimtree")) else 2)
+             0 if (is_f64 or tier in ("high", "high_dimtree", "high_xla"))
+             else 2)
             if polish is None else polish
         ),
         polish_tol=1e-6 if tier == "default_polish_conv" else 0.0,
@@ -111,7 +113,10 @@ def run(dtype, tag, tier="default", polish=None):
         # reduction order nudges mode-2 SE fidelity from p99 1.43 to 2.17
         # (tier high_dimtree) — measured, kept as the documented faster
         # option (829 vs 717 reps/s) rather than the default.
-        dimtree="auto" if tier == "high_dimtree" else "off",
+        dimtree="on" if tier == "high_dimtree" else "off",
+        # "high_xla": the XLA-epilogue control for the fused-epilogue pin
+        # (the f32 tiers otherwise inherit the JK driver's fused pin).
+        epilogue="xla" if tier == "high_xla" else "auto",
         sync_mode="evict",
     )
     import time
@@ -143,8 +148,8 @@ def compare():
     a = np.load(os.path.join(WORK, "jk_fidelity_f64.npz"))
     out = {"modes": list(MODES), "rank": RANK, "tiers": {}}
     for tag in (
-        "f32", "f32_high", "f32_high_dimtree", "f32_default_check",
-        "f32_default_polish_conv",
+        "f32", "f32_high", "f32_high_xla", "f32_high_dimtree",
+        "f32_default_check", "f32_default_polish_conv",
     ):
         path32 = os.path.join(WORK, f"jk_fidelity_{tag}.npz")
         if not os.path.exists(path32):
