@@ -332,3 +332,22 @@ def test_jk_wire_dtype_and_mixed_check():
             assert (mask == np.isfinite(ff)).all()
             # float16 wire rounding (~5e-4 relative) dominates the band.
             np.testing.assert_allclose(fp_[mask], ff[mask], atol=5e-3)
+
+
+def test_jk_fidelity_pin_rules():
+    """_pin_jk_fidelity (solvers/jackknife.py): dimtree 'auto' resolves
+    to off; epilogue 'auto' resolves to the fused kernels ONLY on TPU
+    with the default GJ solve (CPU stays unfused — interpret mode is the
+    test configuration, not a production path — and an explicit
+    solve_method must not be silently replaced by the kernel's GJ
+    inverse); explicit settings pass through untouched."""
+    from cp_cals_tpu.solvers.jackknife import _pin_jk_fidelity
+
+    p = _pin_jk_fidelity(CalsParams())
+    assert p.dimtree == "off"
+    # CPU backend (the test environment): no fused pin.
+    assert p.epilogue == "auto"
+    p2 = _pin_jk_fidelity(CalsParams(solve_method="chol"))
+    assert p2.epilogue == "auto" and p2.solve_method == "chol"
+    p3 = _pin_jk_fidelity(CalsParams(dimtree="on", epilogue="xla"))
+    assert p3.dimtree == "on" and p3.epilogue == "xla"
