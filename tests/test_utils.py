@@ -174,3 +174,17 @@ def test_read_tensor_npy_npz(tmp_path):
     p2 = tmp_path / "t.npz"
     np.savez(p2, x=x)
     np.testing.assert_array_equal(read_tensor(str(p2)), x)
+
+
+def test_benchmark_dashboard():
+    """The committed-artifact summarizer reads every round-5 benchmark
+    JSON it finds and returns headline metrics (absent files skipped)."""
+    from cp_cals_tpu.utils.analysis import benchmark_dashboard
+
+    d = benchmark_dashboard()
+    # The repo commits these artifacts; a fresh partial checkout may not.
+    if "tol_leg" in d:
+        assert d["tol_leg"]["models_per_sec"] > 0
+    if "jk_se_fidelity_p99" in d:
+        assert all(len(v) == 3 for v in d["jk_se_fidelity_p99"].values())
+    assert benchmark_dashboard("/nonexistent") == {}
