@@ -106,14 +106,31 @@ def require_backend(timeout_s=None):
         attempt += 1
         left = deadline - time.time()
         if left <= 5:
-            print(json.dumps({
+            out = {
                 "metric": "cpd_models_converged_per_sec", "value": 0.0,
                 "unit": "models/s", "vs_baseline": 0.0,
                 "error": (
                     f"device backend unavailable: {attempt} subprocess "
                     f"probes failed over {timeout_s}s"
                 ),
-            }), flush=True)
+            }
+            try:
+                # Point the artifact at the committed evidence so a
+                # tunnel outage at capture time is distinguishable from
+                # a framework regression.
+                with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "data", "benchmarks", "bench_best_measured.json",
+                )) as f:
+                    best = json.load(f)
+                out["last_committed_capture"] = {
+                    k: best.get(k)
+                    for k in ("value", "vs_baseline", "rep_walls_s",
+                              "link_probe", "note")
+                }
+            except Exception:
+                pass
+            print(json.dumps(out), flush=True)
             os._exit(1)
         try:
             r = subprocess.run(
